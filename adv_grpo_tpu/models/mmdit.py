@@ -1,0 +1,369 @@
+"""MMDiT (SD3/SD3.5-class joint-stream diffusion transformer) in Flax.
+
+A from-scratch TPU-first implementation of the policy model the reference
+fine-tunes: the diffusers ``SD3Transformer2DModel`` (~2B for SD3.5-Medium)
+invoked at adv_grpo/diffusers_patch/sd3_pipeline_with_logprob_fast.py:630-637 as
+``transformer(hidden_states, timestep, encoder_hidden_states, pooled_projections)``.
+
+Architecture parity targets (module semantics, not code):
+  * patchified 16-ch latents (patch 2) + centre-cropped fixed 2D sincos pos-embed
+  * sinusoidal timestep embedding (256, flip_sin_to_cos) + pooled-text MLP,
+    summed into the AdaLN conditioning vector
+  * N joint transformer blocks: AdaLayerNormZero modulation on both streams,
+    joint attention over [image ; text] tokens, per-head RMS qk-norm (SD3.5),
+    optional dual self-attention on the image stream (SD3.5-M layers 0-12),
+    4x GELU-tanh MLPs; final block drops the context stream (context_pre_only)
+  * AdaLayerNormContinuous head -> linear to patch^2 * out_channels -> unpatchify
+
+TPU design notes:
+  * attention runs through adv_grpo_tpu.ops.attention.mha (Pallas flash kernel
+    on TPU); the joint sequence is zero-padded to a 128 multiple and key padding
+    masked with a static kv_len — no dynamic shapes under jit
+  * compute dtype bf16 end-to-end, params fp32; all matmuls MXU-shaped
+  * LoRA on the 8 joint-attention projections via models.lora.LoRADense with a
+    runtime lora_scale (reference PEFT config train_sd3_fast_pickscore.py:490-511)
+  * jax.checkpoint (remat) per block, policy-selectable, for the 2-step training
+    window backward at CFG batch sizes (SURVEY.md §7.3.7)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adv_grpo_tpu.models.lora import LoRADense
+from adv_grpo_tpu.ops.attention import mha
+
+
+@dataclasses.dataclass(frozen=True)
+class MMDiTConfig:
+    """SD3.5-Medium defaults; shrink for tests."""
+
+    patch_size: int = 2
+    in_channels: int = 16
+    out_channels: int = 16
+    num_layers: int = 24
+    attention_head_dim: int = 64
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 4096  # text token width (T5 dim)
+    pooled_projection_dim: int = 2048
+    pos_embed_max_size: int = 384
+    qk_norm: bool = True
+    dual_attention_layers: Tuple[int, ...] = tuple(range(13))
+    sample_size: int = 128
+    dtype: Any = jnp.bfloat16
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    remat: bool = True
+    attention_backend: Optional[str] = None  # None = auto per platform
+
+    @property
+    def hidden_dim(self) -> int:
+        return self.attention_head_dim * self.num_attention_heads
+
+    @classmethod
+    def sd35_medium(cls, **overrides) -> "MMDiTConfig":
+        return cls(**overrides)
+
+    @classmethod
+    def tiny(cls, **overrides) -> "MMDiTConfig":
+        """4-layer toy config for CPU tests."""
+        defaults = dict(
+            num_layers=4, attention_head_dim=32, num_attention_heads=4,
+            joint_attention_dim=64, pooled_projection_dim=48,
+            pos_embed_max_size=32, dual_attention_layers=(0, 1),
+            dtype=jnp.float32, remat=False,
+        )
+        defaults.update(overrides)
+        return cls(**defaults)
+
+
+def sincos_timestep_embedding(t, dim: int, max_period: float = 10000.0):
+    """Diffusers `Timesteps(dim, flip_sin_to_cos=True, downscale_freq_shift=0)`.
+
+    t is the raw timestep value (0..1000 scale for SD3).
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    # flip_sin_to_cos=True -> [cos, sin]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def make_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
+    """Fixed 2D sin-cos positional table over a (grid_size, grid_size) grid."""
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid_h = np.arange(grid_size, dtype=np.float64)
+    grid_w = np.arange(grid_size, dtype=np.float64)
+    grid = np.meshgrid(grid_w, grid_h)  # w varies fastest
+    grid = np.stack(grid, axis=0).reshape(2, -1)
+    emb_h = _1d(embed_dim // 2, grid[1])
+    emb_w = _1d(embed_dim // 2, grid[0])
+    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + self.eps)
+        return (xf * weight).astype(self.dtype)
+
+
+def _layer_norm(x, dtype):
+    """LayerNorm without learned affine (elementwise_affine=False), fp32 stats."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + 1e-6)).astype(dtype)
+
+
+class AdaLNModulation(nn.Module):
+    """silu(temb) -> Linear -> n_chunks modulation vectors."""
+
+    dim: int
+    n_chunks: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, temb):
+        h = nn.Dense(self.n_chunks * self.dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="linear")(nn.silu(temb))
+        return jnp.split(h, self.n_chunks, axis=-1)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * 4, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        h = nn.gelu(h, approximate=True)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="fc2")(h)
+
+
+class JointAttention(nn.Module):
+    """Joint image+text attention with optional per-head RMS qk-norm and LoRA."""
+
+    cfg: MMDiTConfig
+    context_pre_only: bool = False
+
+    @nn.compact
+    def __call__(self, x, ctx, lora_scale=1.0):
+        c = self.cfg
+        H, d = c.num_attention_heads, c.attention_head_dim
+        dim = c.hidden_dim
+        B, s_img, _ = x.shape
+        s_txt = ctx.shape[1]
+
+        def proj(name, inp):
+            return LoRADense(dim, lora_rank=c.lora_rank, lora_alpha=c.lora_alpha,
+                             dtype=c.dtype, name=name)(inp, lora_scale=lora_scale)
+
+        q = proj("to_q", x).reshape(B, s_img, H, d)
+        k = proj("to_k", x).reshape(B, s_img, H, d)
+        v = proj("to_v", x).reshape(B, s_img, H, d)
+        cq = proj("add_q_proj", ctx).reshape(B, s_txt, H, d)
+        ck = proj("add_k_proj", ctx).reshape(B, s_txt, H, d)
+        cv = proj("add_v_proj", ctx).reshape(B, s_txt, H, d)
+
+        if c.qk_norm:
+            q = RMSNorm(d, dtype=c.dtype, name="norm_q")(q)
+            k = RMSNorm(d, dtype=c.dtype, name="norm_k")(k)
+            cq = RMSNorm(d, dtype=c.dtype, name="norm_added_q")(cq)
+            ck = RMSNorm(d, dtype=c.dtype, name="norm_added_k")(ck)
+
+        # joint sequence: image tokens first, then text
+        q = jnp.concatenate([q, cq], axis=1).transpose(0, 2, 1, 3)
+        k = jnp.concatenate([k, ck], axis=1).transpose(0, 2, 1, 3)
+        v = jnp.concatenate([v, cv], axis=1).transpose(0, 2, 1, 3)
+
+        s_tot = s_img + s_txt
+        pad = (-s_tot) % 128
+        if pad:
+            padw = ((0, 0), (0, 0), (0, pad), (0, 0))
+            q, k, v = (jnp.pad(a, padw) for a in (q, k, v))
+        o = mha(q, k, v, kv_len=s_tot, backend=c.attention_backend)
+        o = o[:, :, :s_tot].transpose(0, 2, 1, 3).reshape(B, s_tot, dim)
+
+        x_out = LoRADense(dim, lora_rank=c.lora_rank, lora_alpha=c.lora_alpha,
+                          dtype=c.dtype, name="to_out")(o[:, :s_img], lora_scale=lora_scale)
+        if self.context_pre_only:
+            return x_out, None
+        ctx_out = LoRADense(dim, lora_rank=c.lora_rank, lora_alpha=c.lora_alpha,
+                            dtype=c.dtype, name="to_add_out")(o[:, s_img:], lora_scale=lora_scale)
+        return x_out, ctx_out
+
+
+class DualSelfAttention(nn.Module):
+    """SD3.5 extra image-stream self-attention (attn2) — no LoRA (reference
+    targets are attn.-prefixed, train_sd3_fast_pickscore.py:492-501)."""
+
+    cfg: MMDiTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        H, d = c.num_attention_heads, c.attention_head_dim
+        dim = c.hidden_dim
+        B, s, _ = x.shape
+        dense = lambda name: nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                                      name=name)
+        q = dense("to_q")(x).reshape(B, s, H, d)
+        k = dense("to_k")(x).reshape(B, s, H, d)
+        v = dense("to_v")(x).reshape(B, s, H, d)
+        if c.qk_norm:
+            q = RMSNorm(d, dtype=c.dtype, name="norm_q")(q)
+            k = RMSNorm(d, dtype=c.dtype, name="norm_k")(k)
+        q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+        pad = (-s) % 128
+        if pad:
+            padw = ((0, 0), (0, 0), (0, pad), (0, 0))
+            q, k, v = (jnp.pad(a, padw) for a in (q, k, v))
+        o = mha(q, k, v, kv_len=s, backend=c.attention_backend)
+        o = o[:, :, :s].transpose(0, 2, 1, 3).reshape(B, s, dim)
+        return dense("to_out")(o)
+
+
+class JointBlock(nn.Module):
+    cfg: MMDiTConfig
+    dual_attention: bool = False
+    context_pre_only: bool = False
+
+    @nn.compact
+    def __call__(self, x, ctx, temb, lora_scale=1.0):
+        c = self.cfg
+        dim = c.hidden_dim
+
+        n_x = 9 if self.dual_attention else 6
+        mods = AdaLNModulation(dim, n_x, dtype=c.dtype, name="norm1")(temb)
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods[:6]
+        x_ln = _layer_norm(x, c.dtype)
+        x_mod = x_ln * (1 + scale_msa[:, None]) + shift_msa[:, None]
+
+        if self.context_pre_only:
+            # AdaLayerNormContinuous on the context: chunk order [scale, shift]
+            cscale, cshift = AdaLNModulation(dim, 2, dtype=c.dtype,
+                                             name="norm1_context")(temb)
+            ctx_mod = _layer_norm(ctx, c.dtype) * (1 + cscale[:, None]) + cshift[:, None]
+        else:
+            cmods = AdaLNModulation(dim, 6, dtype=c.dtype, name="norm1_context")(temb)
+            c_shift_msa, c_scale_msa, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = cmods
+            ctx_mod = _layer_norm(ctx, c.dtype) * (1 + c_scale_msa[:, None]) + c_shift_msa[:, None]
+
+        attn_out, ctx_attn_out = JointAttention(
+            c, context_pre_only=self.context_pre_only, name="attn"
+        )(x_mod, ctx_mod, lora_scale=lora_scale)
+        x = x + gate_msa[:, None] * attn_out
+
+        if self.dual_attention:
+            shift_msa2, scale_msa2, gate_msa2 = mods[6:]
+            x_mod2 = x_ln * (1 + scale_msa2[:, None]) + shift_msa2[:, None]
+            x = x + gate_msa2[:, None] * DualSelfAttention(c, name="attn2")(x_mod2)
+
+        h = _layer_norm(x, c.dtype) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+        x = x + gate_mlp[:, None] * FeedForward(dim, dtype=c.dtype, name="ff")(h)
+
+        if self.context_pre_only:
+            return x, None
+        ctx = ctx + c_gate_msa[:, None] * ctx_attn_out
+        hc = _layer_norm(ctx, c.dtype) * (1 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
+        ctx = ctx + c_gate_mlp[:, None] * FeedForward(dim, dtype=c.dtype,
+                                                      name="ff_context")(hc)
+        return x, ctx
+
+
+class MMDiT(nn.Module):
+    """Velocity-prediction joint transformer.
+
+    __call__(latents (B,C,h,w), timestep (B,) raw 0..1000, encoder_hidden_states
+    (B,S_txt,joint_attention_dim), pooled_projections (B,pooled_dim),
+    lora_scale) -> velocity (B,C,h,w)
+    """
+
+    cfg: MMDiTConfig
+
+    @nn.compact
+    def __call__(self, latents, timestep, encoder_hidden_states, pooled_projections,
+                 lora_scale=1.0):
+        c = self.cfg
+        dim = c.hidden_dim
+        p = c.patch_size
+        B, C, h, w = latents.shape
+        gh, gw = h // p, w // p
+
+        # patchify: (B,C,h,w) -> (B, gh*gw, p*p*C) -> Dense  (conv-as-matmul: MXU)
+        x = latents.reshape(B, C, gh, p, gw, p)
+        x = x.transpose(0, 2, 4, 3, 5, 1).reshape(B, gh * gw, p * p * C)
+        x = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="pos_embed_proj")(x)
+
+        # centre-cropped fixed sincos position table (diffusers PatchEmbed semantics)
+        pos_table = self.variable(
+            "pos_embed", "table",
+            lambda: jnp.asarray(
+                make_2d_sincos_pos_embed(dim, c.pos_embed_max_size)
+            ).reshape(c.pos_embed_max_size, c.pos_embed_max_size, dim),
+        ).value
+        top = (c.pos_embed_max_size - gh) // 2
+        left = (c.pos_embed_max_size - gw) // 2
+        pos = pos_table[top:top + gh, left:left + gw].reshape(1, gh * gw, dim)
+        x = x + pos.astype(c.dtype)
+
+        # conditioning vector: timestep + pooled text
+        t_emb = sincos_timestep_embedding(timestep, 256)
+        t_emb = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                         name="time_embed_1")(t_emb.astype(c.dtype))
+        t_emb = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                         name="time_embed_2")(nn.silu(t_emb))
+        p_emb = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                         name="pooled_embed_1")(pooled_projections.astype(c.dtype))
+        p_emb = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                         name="pooled_embed_2")(nn.silu(p_emb))
+        temb = t_emb + p_emb
+
+        ctx = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                       name="context_embedder")(encoder_hidden_states.astype(c.dtype))
+
+        block_cls = JointBlock
+        if c.remat:
+            block_cls = nn.remat(JointBlock, static_argnums=())
+        for i in range(c.num_layers):
+            x, ctx = block_cls(
+                c,
+                dual_attention=i in c.dual_attention_layers,
+                context_pre_only=i == c.num_layers - 1,
+                name=f"block_{i}",
+            )(x, ctx, temb, lora_scale)
+
+        # output head: AdaLayerNormContinuous (chunk order [scale, shift])
+        oscale, oshift = AdaLNModulation(dim, 2, dtype=c.dtype, name="norm_out")(temb)
+        x = _layer_norm(x, c.dtype) * (1 + oscale[:, None]) + oshift[:, None]
+        x = nn.Dense(p * p * c.out_channels, dtype=c.dtype, param_dtype=jnp.float32,
+                     name="proj_out")(x)
+
+        # unpatchify -> (B, C, h, w)
+        x = x.reshape(B, gh, gw, p, p, c.out_channels)
+        x = x.transpose(0, 5, 1, 3, 2, 4).reshape(B, c.out_channels, h, w)
+        return x
