@@ -1,0 +1,141 @@
+"""Shared CLI plumbing: config flags, pipeline/model assembly, text encoding.
+
+Mirrors the reference CLI contract (absl + ml_collections config_flags,
+``--config adv_grpo_tpu/config/grpo.py:preset`` and ``--config.x=y`` overrides —
+reference train_sd3_fast_pickscore.py:43-46).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+def resolve_config(spec: str):
+    """'module_path:preset' or bare preset name -> ConfigDict."""
+    if ":" in spec:
+        _, preset = spec.rsplit(":", 1)
+    else:
+        preset = spec
+    from adv_grpo_tpu.config import grpo
+
+    return grpo.get_config(preset)
+
+
+def build_pipeline(config, latent_hw: Optional[int] = None):
+    """Load the SD3 pipeline from config.pretrained.model (local dir) or — when
+    it is absent/unset — a random-init pipeline at the configured size (smoke /
+    bench mode; real runs must point at converted weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adv_grpo_tpu.models.mmdit import MMDiTConfig
+    from adv_grpo_tpu.models.vae import VAEConfig
+    from adv_grpo_tpu.train.pipeline import SD3Pipeline
+
+    model_dir = str(config.pretrained.model)
+    lora_rank = int(config.train.lora_rank) if config.use_lora else 0
+    if model_dir and os.path.isdir(model_dir):
+        return SD3Pipeline.from_pretrained(
+            model_dir, lora_rank=lora_rank,
+            lora_alpha=float(config.train.lora_alpha))
+    mmdit_cfg = MMDiTConfig.sd35_medium(
+        lora_rank=lora_rank, lora_alpha=float(config.train.lora_alpha))
+    hw = latent_hw or int(config.resolution) // 8
+    return SD3Pipeline.random_init(
+        jax.random.PRNGKey(int(config.seed)), mmdit_cfg, VAEConfig.sd3(),
+        latent_hw=hw)
+
+
+def build_text_encoder(config, pipeline):
+    """Real tri-encoder stack when weights are local; otherwise a deterministic
+    hash-based embedder (same prompt -> same embedding) for smoke runs."""
+    model_dir = str(config.pretrained.model)
+    if model_dir and os.path.isdir(os.path.join(model_dir, "text_encoder")):
+        return load_real_text_encoder(config, pipeline)
+    return make_hash_text_encoder(
+        seq_len=pipeline.text_seq_len,
+        embed_dim=pipeline.mmdit_cfg.joint_attention_dim,
+        pooled_dim=pipeline.mmdit_cfg.pooled_projection_dim)
+
+
+def make_hash_text_encoder(seq_len: int, embed_dim: int, pooled_dim: int):
+    """Deterministic per-prompt pseudo-embeddings (tests/smoke): stable across
+    processes, distinct across prompts."""
+
+    @functools.lru_cache(maxsize=4096)
+    def _one(prompt: str):
+        rng = np.random.default_rng(abs(hash(prompt)) % (2**32))
+        return (rng.normal(0, 0.2, (seq_len, embed_dim)).astype(np.float32),
+                rng.normal(0, 0.2, (pooled_dim,)).astype(np.float32))
+
+    def encode(prompts: List[str]):
+        pairs = [_one(p) for p in prompts]
+        return (np.stack([e for e, _ in pairs]), np.stack([p for _, p in pairs]))
+
+    return encode
+
+
+def load_real_text_encoder(config, pipeline):
+    """CLIP-L + CLIP-G + T5 from the local diffusers layout, jitted, with HF
+    tokenizers (reference compute_text_embeddings, train_sd3_fast_pickscore.py:186-193)."""
+    import jax
+    import jax.numpy as jnp
+    import transformers
+
+    from adv_grpo_tpu.models import convert
+    from adv_grpo_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+    from adv_grpo_tpu.models.t5 import T5Config, T5Encoder
+    from adv_grpo_tpu.models.encode_prompt import compose_sd3_prompt_embeds
+
+    root = str(config.pretrained.model)
+    tok1 = transformers.CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+    tok2 = transformers.CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer_2"))
+    tok3 = transformers.T5TokenizerFast.from_pretrained(os.path.join(root, "tokenizer_3"))
+
+    import json
+
+    def _load_clip(sub, factory):
+        with open(os.path.join(root, sub, "config.json")) as f:
+            c = json.load(f)
+        cfg = factory(
+            hidden_size=c["hidden_size"], intermediate_size=c["intermediate_size"],
+            num_layers=c["num_hidden_layers"], num_heads=c["num_attention_heads"],
+            projection_dim=c["projection_dim"], hidden_act=c["hidden_act"],
+            eos_token_id=c.get("eos_token_id", 49407))
+        sd = convert.load_torch_state_dict(os.path.join(root, sub))
+        params = convert.convert_clip_text(sd, cfg.num_layers)
+        model = CLIPTextEncoder(cfg)
+        return jax.jit(lambda ids: model.apply({"params": params}, ids))
+
+    clip_l = _load_clip("text_encoder", CLIPTextConfig.clip_l)
+    clip_g = _load_clip("text_encoder_2", CLIPTextConfig.clip_g)
+
+    with open(os.path.join(root, "text_encoder_3", "config.json")) as f:
+        t5c = json.load(f)
+    t5_cfg = T5Config(d_model=t5c["d_model"], d_kv=t5c["d_kv"], d_ff=t5c["d_ff"],
+                      num_layers=t5c["num_layers"], num_heads=t5c["num_heads"])
+    t5_sd = convert.load_torch_state_dict(os.path.join(root, "text_encoder_3"))
+    t5_params = convert.convert_t5_encoder(t5_sd, t5_cfg.num_layers)
+    t5_model = T5Encoder(t5_cfg)
+    t5 = jax.jit(lambda ids: t5_model.apply({"params": t5_params}, ids))
+
+    t5_len = pipeline.text_seq_len - 77
+
+    def encode(prompts: List[str]):
+        ids1 = tok1(prompts, padding="max_length", max_length=77, truncation=True,
+                    return_tensors="np").input_ids
+        ids2 = tok2(prompts, padding="max_length", max_length=77, truncation=True,
+                    return_tensors="np").input_ids
+        ids3 = tok3(prompts, padding="max_length", max_length=t5_len,
+                    truncation=True, return_tensors="np").input_ids
+        _, l_h, l_p = clip_l(jnp.asarray(ids1))
+        _, g_h, g_p = clip_g(jnp.asarray(ids2))
+        t5_h = t5(jnp.asarray(ids3))
+        out = compose_sd3_prompt_embeds(l_h, l_p, g_h, g_p, t5_h)
+        return np.asarray(out.prompt_embeds), np.asarray(out.pooled_prompt_embeds)
+
+    return encode

@@ -1,0 +1,80 @@
+"""Single-prompt inference CLI (reference inference_t2i.py:126-216 parity).
+
+Usage:
+  python -m adv_grpo_tpu.cli.infer --config eval_sd3_fast --prompts "a flower" \
+      [--out out.png] [--lora path/to/lora]
+Deterministic eval rollout (noise 0, fixed seed 0) + PNG save named
+``node0_rank0_00000_{i}.png`` like the reference (:86-116).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="eval_sd3_fast")
+    parser.add_argument("--prompts", required=True)
+    parser.add_argument("--out_dir", default="outputs")
+    parser.add_argument("--lora", default=None)
+    parser.add_argument("--latent_hw", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from adv_grpo_tpu.cli.common import build_pipeline, build_text_encoder, resolve_config
+    from adv_grpo_tpu.models.lora import lora_params, merge_lora_params
+    from adv_grpo_tpu.rollout.sampler import SamplerConfig, denoise_with_logprob
+    from adv_grpo_tpu.train import checkpoint as ckpt_lib
+
+    config = resolve_config(args.config)
+    pipeline = build_pipeline(config, latent_hw=args.latent_hw)
+    encode = build_text_encoder(config, pipeline)
+
+    params = pipeline.transformer_params
+    lora_path = args.lora or config.train.lora_path
+    if lora_path:
+        lora = ckpt_lib.load_lora_only(lora_path)
+        params = {**params, "params": merge_lora_params(params["params"], lora)}
+
+    prompts = [args.prompts]
+    embeds, pooled = encode(prompts)
+    neg_e, neg_p = encode([""] * len(prompts))
+
+    cfg = SamplerConfig(num_steps=int(config.sample.eval_num_steps),
+                        train_num_steps=0, noise_level=0.0,
+                        guidance_scale=float(config.sample.guidance_scale))
+    hw = args.latent_hw or int(config.resolution) // 8
+
+    @jax.jit
+    def generate(key):
+        lat = jax.random.normal(
+            key, (len(prompts), pipeline.mmdit_cfg.in_channels, hw, hw))
+        out = denoise_with_logprob(pipeline.velocity_fn(params), lat,
+                                   jnp.asarray(embeds), jnp.asarray(pooled),
+                                   jnp.asarray(neg_e), jnp.asarray(neg_p),
+                                   key, cfg, 0)
+        return pipeline.decode(out.final_latents)
+
+    images = generate(jax.random.PRNGKey(0))
+    os.makedirs(args.out_dir, exist_ok=True)
+    from adv_grpo_tpu.native.lib import images_to_uint8
+    from PIL import Image
+
+    u8 = images_to_uint8(np.asarray(images, np.float32))
+    paths = []
+    for i, arr in enumerate(u8):
+        path = os.path.join(args.out_dir, f"node0_rank0_00000_{i}.png")
+        Image.fromarray(arr).save(path)
+        paths.append(path)
+    print("\n".join(paths))
+    return paths
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Training CLI — the reference's two trainer scripts as one preset-driven
+entry point (scripts/grpo_pickscore.sh / grpo_dino.sh equivalents).
+
+Usage:
+  python -m adv_grpo_tpu.cli.train --config pickscore_cotrain_sd3_fast \
+      [--max_epochs N] [--latent_hw 64]
+
+Discriminator kind, rewards, gates, budgets all come from the preset
+(adv_grpo_tpu/config/grpo.py). Multi-host: launch one process per host with
+JAX_COORDINATOR/... env set; jax.distributed.initialize is called when
+process-count env vars are present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def maybe_init_distributed():
+    if os.environ.get("JAX_PROCESS_COUNT") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+
+
+def build_trainer(config, latent_hw=None, dataset=None):
+    import jax
+
+    from adv_grpo_tpu.cli.common import build_pipeline, build_text_encoder
+    from adv_grpo_tpu.data.datasets import (
+        GenevalPromptDataset, ReferenceImageStore, TextPromptDataset,
+    )
+    from adv_grpo_tpu.rewards.registry import RewardContext, multi_score
+    from adv_grpo_tpu.rewards.scorers import DINOScorer, PickScoreScorer
+    from adv_grpo_tpu.train.driver import DiscriminatorBundle, GRPOTrainer
+    from adv_grpo_tpu.train.grpo_trainer import make_dino_d_step, make_pickscore_d_step
+
+    pipeline = build_pipeline(config, latent_hw=latent_hw)
+    encode = build_text_encoder(config, pipeline)
+
+    if dataset is None:
+        ds_dir = str(config.dataset)
+        if os.path.exists(os.path.join(ds_dir, "train_metadata.jsonl")):
+            dataset = GenevalPromptDataset(ds_dir, "train")
+        else:
+            dataset = TextPromptDataset(ds_dir, "train")
+
+    ref_store = None
+    if str(config.json_path) and os.path.exists(str(config.json_path)):
+        ref_store = ReferenceImageStore(
+            str(config.json_path), str(config.reference_image_path),
+            resolution=int(config.resolution))
+
+    # reward context with the scorers the preset needs
+    key = jax.random.PRNGKey(int(config.seed) + 1)
+    ctx = RewardContext()
+    disc = None
+    reward_names = set(dict(config.reward_fn)) | set(dict(config.eval_reward_fn))
+    if reward_names & {"pickscore", "pickscore_cotrain", "clipscore"}:
+        import numpy as np
+
+        ps = PickScoreScorer()
+        ctx.pickscore = ps
+        ctx.pickscore_params = ps.init_params(key)  # or converted PickScore_v1
+        try:
+            import transformers
+
+            tok = transformers.CLIPTokenizer.from_pretrained(
+                os.path.join(str(config.pretrained.model), "tokenizer"))
+
+            def tokenize(prompts):
+                return tok(prompts, padding="max_length", max_length=77,
+                           truncation=True, return_tensors="np").input_ids
+        except Exception:
+            def tokenize(prompts):
+                import numpy as np
+
+                return np.full((len(prompts), 77), 3, np.int32)
+        ctx.tokenize = tokenize
+    if reward_names & {"image_similarity", "dino_cotrain", "dino_patch_cotrain"}:
+        dino = DINOScorer()
+        ctx.dino = dino
+        ctx.dino_backbone_params = dino.init_backbone(key)
+        ctx.dino_head_params = dino.init_head(key)
+        ctx.rng = jax.random.PRNGKey(int(config.seed) + 2)
+    if "ocr" in reward_names:
+        from adv_grpo_tpu.rewards.host import OcrScorer
+
+        ctx.ocr = OcrScorer()
+
+    disc_kind = str(config.discriminator)
+    if bool(config.train_d) and disc_kind:
+        if disc_kind == "pickscore":
+            make = make_pickscore_d_step(ctx.pickscore, int(config.tune_layer),
+                                         float(config.d_lr))
+            step_fn, opt_state = make(ctx.pickscore_params)
+            disc = DiscriminatorBundle("pickscore", step_fn, opt_state,
+                                       ctx.pickscore_params, tokenize=ctx.tokenize)
+        else:
+            make = make_dino_d_step(ctx.dino, float(config.d_lr))
+            step_fn, opt_state = make(ctx.dino_head_params)
+            disc = DiscriminatorBundle(disc_kind, step_fn, opt_state,
+                                       ctx.dino_head_params,
+                                       backbone_params=ctx.dino_backbone_params)
+
+    reward_fn = multi_score(dict(config.reward_fn), ctx)
+    eval_reward_fn = multi_score(dict(config.eval_reward_fn), ctx) \
+        if dict(config.eval_reward_fn) else None
+
+    trainer = GRPOTrainer(
+        config, pipeline, dataset, encode, reward_fn,
+        eval_reward_fn=eval_reward_fn, reference_store=ref_store,
+        discriminator=disc, latent_hw=latent_hw or int(config.resolution) // 8)
+    # keep the live co-trained params visible to the reward context
+    if disc is not None:
+        if disc.kind == "pickscore":
+            ctx.pickscore_params = disc.params
+        else:
+            ctx.dino_head_params = disc.params
+        trainer._reward_ctx = ctx
+    return trainer
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--max_epochs", type=int, default=None)
+    parser.add_argument("--latent_hw", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    maybe_init_distributed()
+    from adv_grpo_tpu.cli.common import resolve_config
+
+    config = resolve_config(args.config)
+    trainer = build_trainer(config, latent_hw=args.latent_hw)
+    trainer.run(max_epochs=args.max_epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Base configuration defaults.
+
+Same ConfigDict schema + defaults as the reference (config/base.py:4-113) so
+reference preset names and --config.x=y overrides port verbatim, plus a ``tpu``
+section for mesh/compile options the torch stack had no analogue for.
+"""
+
+from __future__ import annotations
+
+import ml_collections
+
+
+def get_config() -> ml_collections.ConfigDict:
+    config = ml_collections.ConfigDict()
+
+    config.run_name = ""
+    config.seed = 42
+    config.logdir = "logs"
+    config.save_freq = 20
+    config.eval_freq = 20
+    config.num_checkpoint_limit = 5
+    config.mixed_precision = "fp16"
+    config.use_lora = True
+    config.dataset = ""
+    config.resolution = 768
+    config.wandb_init = False
+
+    config.pretrained = ml_collections.ConfigDict()
+    config.pretrained.model = ""  # local dir with HF safetensors (no hub egress)
+    config.pretrained.revision = "main"
+
+    config.sample = sample = ml_collections.ConfigDict()
+    sample.num_steps = 40
+    sample.eval_num_steps = 40
+    sample.guidance_scale = 4.5
+    sample.train_batch_size = 1
+    sample.num_image_per_prompt = 1
+    sample.mini_num_image_per_prompt = 1
+    sample.test_batch_size = 1
+    sample.num_batches_per_epoch = 2
+    sample.global_std = True
+    sample.noise_level = 0.7
+    sample.same_latent = False
+    sample.train_num_steps = 2
+    sample.random_timestep = ml_collections.config_dict.placeholder(int)
+
+    config.train = train = ml_collections.ConfigDict()
+    train.batch_size = 1
+    train.learning_rate = 3e-4
+    train.adam_beta1 = 0.9
+    train.adam_beta2 = 0.999
+    train.adam_weight_decay = 1e-4
+    train.adam_epsilon = 1e-8
+    train.gradient_accumulation_steps = 1
+    train.max_grad_norm = 1.0
+    train.num_inner_epochs = 1
+    train.cfg = True
+    train.adv_clip_max = 5
+    train.clip_range = 1e-4
+    train.timestep_fraction = 1.0
+    train.beta = 0.0
+    train.lora_path = ml_collections.config_dict.placeholder(str)
+    train.ema = False
+    train.algorithm = "grpo"  # grpo | rwr | sft | dpo (stat-tracker advantage type)
+    train.lora_rank = 32
+    train.lora_alpha = 64.0
+    train.ema_decay = 0.9
+    train.ema_interval = 8
+
+    config.prompt_fn = "imagenet_animals"
+    config.prompt_fn_kwargs = {}
+    config.reward_fn = ml_collections.ConfigDict()
+    config.eval_reward_fn = ml_collections.ConfigDict()
+    config.save_dir = ""
+    config.per_prompt_stat_tracking = True
+
+    # adversarial reward co-training
+    config.discriminator = ""  # "pickscore" | "dino" | "dino_patch"
+    config.d_times = 10
+    config.d_lr = 1e-4
+    config.tune_layer = -1  # unfreeze last |tune_layer| ViT blocks of the scorer
+    config.train_d = False
+    config.weight_path = ml_collections.config_dict.placeholder(str)
+    config.limit = ml_collections.config_dict.placeholder(int)
+    config.json_path = ""  # prompt -> [reference image files] JSON
+    config.reference_image_path = ""
+    config.test_reference_image_path = ""
+    config.external_image_path = ""
+    config.case_name = ""
+    config.max_global_step = 1000  # reference stop condition (trainer :709)
+
+    # TPU-native additions (no reference analogue)
+    config.tpu = tpu = ml_collections.ConfigDict()
+    tpu.mesh_axes = ("data",)
+    tpu.compute_dtype = "bfloat16"
+    tpu.remat = True
+    tpu.attention_backend = ml_collections.config_dict.placeholder(str)
+    tpu.profile_dir = ""
+    tpu.debug_nans = False
+
+    return config

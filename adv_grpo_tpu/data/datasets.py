@@ -1,0 +1,161 @@
+"""Prompt datasets and the reference-image store.
+
+Mirrors the reference data layer (defined inline in the trainers,
+scripts/train_sd3_fast_pickscore.py:50-85, :705-707, :773-799):
+
+  * TextPromptDataset: one prompt per line of ``{split}.txt``
+  * GenevalPromptDataset: jsonl metadata with ``prompt`` field and
+    include/exclude object specs consumed by the GenEval reward
+  * ReferenceImageStore: prompt -> [image files] JSON + image dir, with the
+    reference's fallback-image behaviour on load failure (:777-790)
+  * prompt functions (adv_grpo/prompts.py): file-backed random prompt
+    generators, incl. general_ocr digit-string augmentation
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class TextPromptDataset:
+    def __init__(self, dataset_dir: str, split: str = "train"):
+        path = os.path.join(dataset_dir, f"{split}.txt")
+        with open(path) as f:
+            self.prompts = [line.strip() for line in f]
+        self.metadatas = [{} for _ in self.prompts]
+
+    def __len__(self):
+        return len(self.prompts)
+
+    def __getitem__(self, idx):
+        return {"prompt": self.prompts[idx], "metadata": {}}
+
+
+class GenevalPromptDataset:
+    def __init__(self, dataset_dir: str, split: str = "train"):
+        path = os.path.join(dataset_dir, f"{split}_metadata.jsonl")
+        with open(path, encoding="utf-8") as f:
+            self.metadatas = [json.loads(line) for line in f]
+        self.prompts = [m["prompt"] for m in self.metadatas]
+
+    def __len__(self):
+        return len(self.prompts)
+
+    def __getitem__(self, idx):
+        return {"prompt": self.prompts[idx], "metadata": self.metadatas[idx]}
+
+
+class ReferenceImageStore:
+    """prompt -> reference images, the contract produced by the Qwen-Image
+    generation drivers (reference reference_imgs_scripts/qwen_generate_multi.py:122-136)
+    and consumed during sampling (:773-799).
+
+    Images are returned as float32 (R, 3, H, W) in [-1, 1], resized to
+    ``resolution``; failures fall back to a configurable default image (or a
+    mid-grey frame) like the reference's hardcoded fallback (:777-790).
+    """
+
+    def __init__(self, json_path: str, image_dir: str, resolution: int = 512,
+                 num_refs: int = 1, fallback_path: Optional[str] = None,
+                 strict: bool = False):
+        with open(json_path) as f:
+            self.prompt2files = json.load(f)
+        self.image_dir = image_dir
+        self.resolution = resolution
+        self.num_refs = num_refs
+        self.fallback_path = fallback_path
+        self.strict = strict
+
+    def _load_one(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB").resize(
+            (self.resolution, self.resolution), Image.BICUBIC)
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        return arr.transpose(2, 0, 1) * 2.0 - 1.0
+
+    def _fallback(self) -> np.ndarray:
+        if self.fallback_path:
+            try:
+                return self._load_one(self.fallback_path)
+            except Exception:
+                pass
+        return np.zeros((3, self.resolution, self.resolution), np.float32)
+
+    def get(self, prompt: str, rng: Optional[random.Random] = None) -> np.ndarray:
+        """(num_refs, 3, H, W) for one prompt (sampled when more are on disk)."""
+        files = self.prompt2files.get(prompt)
+        if files is None:
+            if self.strict:
+                # the DINO trainer exits hard on a missing train reference
+                # (train_sd3_fast_dino_patch.py:875-878)
+                raise KeyError(f"no reference images for prompt: {prompt!r}")
+            return np.stack([self._fallback()] * self.num_refs)
+        if isinstance(files, str):
+            files = [files]
+        rng = rng or random
+        chosen = (rng.sample(files, self.num_refs) if len(files) >= self.num_refs
+                  else [rng.choice(files) for _ in range(self.num_refs)])
+        out = []
+        for fname in chosen:
+            path = fname if os.path.isabs(fname) else os.path.join(self.image_dir, fname)
+            try:
+                out.append(self._load_one(path))
+            except Exception:
+                if self.strict:
+                    raise
+                out.append(self._fallback())
+        return np.stack(out)
+
+    def get_batch(self, prompts: Sequence[str], rng=None) -> np.ndarray:
+        return np.stack([self.get(p, rng) for p in prompts])
+
+
+# ───────────────────────── prompt functions (adv_grpo/prompts.py) ─────────────
+
+
+def _asset_lines(name: str) -> List[str]:
+    path = os.path.join(os.path.dirname(__file__), "assets", name)
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def _from_file(name: str):
+    def _fn(**kwargs):
+        lines = _asset_lines(name)
+        return random.choice(lines), {}
+
+    return _fn
+
+
+def general_ocr(**kwargs):
+    """Prompt with a random quoted digit string to render (reference
+    prompts.py:50-56 simple_ocr semantics used by the fast presets)."""
+    templates = _asset_lines("ocr_templates.txt")
+    digits = "".join(random.choice("0123456789") for _ in range(random.randint(4, 8)))
+    return random.choice(templates).replace("{text}", f'"{digits}"'), {}
+
+
+def counting(nouns_file: str = "simple_animals.txt", low: int = 2, high: int = 6,
+             **kwargs):
+    noun = random.choice(_asset_lines(nouns_file))
+    number = random.randint(low, high)
+    return f"{number} {noun}s", {"questions": [f"How many {noun}s are there?"],
+                                 "answers": [str(number)]}
+
+
+PROMPT_FNS: dict = {
+    "simple_animals": _from_file("simple_animals.txt"),
+    "imagenet_animals": _from_file("simple_animals.txt"),
+    "general_ocr": general_ocr,
+    "counting": counting,
+}
+
+
+def get_prompt_fn(name: str) -> Callable[..., Tuple[str, dict]]:
+    return PROMPT_FNS[name]

@@ -1,0 +1,455 @@
+"""HF / timm checkpoint -> Flax parameter conversion.
+
+The reference loads everything through HF from_pretrained (SD3.5 pipeline,
+PickScore CLIP-H, timm DINOv2, CLIP-L — SURVEY.md §7.3.2 lists conversion
+fidelity as hard-part #2). Here each converter maps a torch state dict (read
+from local safetensors/bin files — zero-egress environments supply a local
+model dir) onto the corresponding Flax module's param tree.
+
+Conventions:
+  * torch Linear weight (out, in) -> Flax Dense kernel (in, out)
+  * torch Conv2d weight (out, in, kh, kw) -> Flax Conv kernel (kh, kw, in, out)
+  * every converter asserts it consumed all expected keys — unmapped weights
+    are a hard error, not silence.
+
+CLIP-text and T5 converters are parity-tested against live `transformers` torch
+models with random weights (tests/test_convert.py); MMDiT/VAE/DINO converters
+are structure-tested (diffusers/timm are not installed here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _t(w):  # torch Linear -> Dense kernel
+    return np.asarray(w).T
+
+
+def _conv(w):  # torch Conv2d -> Flax Conv kernel
+    return np.asarray(w).transpose(2, 3, 1, 0)
+
+
+def load_torch_state_dict(model_dir: str, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Read all safetensors (preferred) or torch .bin shards in a directory."""
+    sd: Dict[str, np.ndarray] = {}
+    files = sorted(os.listdir(model_dir))
+    st_files = [f for f in files if f.endswith(".safetensors")]
+    if st_files:
+        from safetensors import safe_open
+
+        for fname in st_files:
+            with safe_open(os.path.join(model_dir, fname), framework="np") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+    else:
+        import torch
+
+        for fname in [f for f in files if f.endswith(".bin")]:
+            shard = torch.load(os.path.join(model_dir, fname), map_location="cpu",
+                               weights_only=True)
+            for k, v in shard.items():
+                sd[k] = v.float().numpy()
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    return sd
+
+
+class _Taken:
+    """State-dict view that records consumption and fails on absent keys."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        self.sd = dict(sd)
+        self.used = set()
+
+    def __call__(self, key: str) -> np.ndarray:
+        if key not in self.sd:
+            raise KeyError(f"missing weight: {key}")
+        self.used.add(key)
+        return self.sd[key]
+
+    def has(self, key: str) -> bool:
+        return key in self.sd
+
+    def unused(self):
+        return sorted(set(self.sd) - self.used)
+
+
+# ───────────────────────────── CLIP text ─────────────────────────────
+
+
+def convert_clip_text(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    """HF CLIPTextModelWithProjection -> models.clip_text.CLIPTextEncoder."""
+    g = _Taken(sd)
+    p: Dict[str, Any] = {
+        "token_embedding": {"embedding": g("text_model.embeddings.token_embedding.weight")},
+        "position_embedding": g("text_model.embeddings.position_embedding.weight"),
+        "final_layer_norm": {"scale": g("text_model.final_layer_norm.weight"),
+                             "bias": g("text_model.final_layer_norm.bias")},
+        "text_projection": {"kernel": _t(g("text_projection.weight"))},
+    }
+    for i in range(num_layers):
+        b = f"text_model.encoder.layers.{i}."
+        p[f"layer_{i}"] = {
+            "layer_norm1": {"scale": g(b + "layer_norm1.weight"),
+                            "bias": g(b + "layer_norm1.bias")},
+            "layer_norm2": {"scale": g(b + "layer_norm2.weight"),
+                            "bias": g(b + "layer_norm2.bias")},
+            "q_proj": {"kernel": _t(g(b + "self_attn.q_proj.weight")),
+                       "bias": g(b + "self_attn.q_proj.bias")},
+            "k_proj": {"kernel": _t(g(b + "self_attn.k_proj.weight")),
+                       "bias": g(b + "self_attn.k_proj.bias")},
+            "v_proj": {"kernel": _t(g(b + "self_attn.v_proj.weight")),
+                       "bias": g(b + "self_attn.v_proj.bias")},
+            "out_proj": {"kernel": _t(g(b + "self_attn.out_proj.weight")),
+                         "bias": g(b + "self_attn.out_proj.bias")},
+            "fc1": {"kernel": _t(g(b + "mlp.fc1.weight")),
+                    "bias": g(b + "mlp.fc1.bias")},
+            "fc2": {"kernel": _t(g(b + "mlp.fc2.weight")),
+                    "bias": g(b + "mlp.fc2.bias")},
+        }
+    return p
+
+
+# ───────────────────────────── CLIP vision ─────────────────────────────
+
+
+def convert_clip_vision(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    """HF CLIPVisionModelWithProjection -> models.vit.VisionTransformer."""
+    g = _Taken(sd)
+    patch_w = g("vision_model.embeddings.patch_embedding.weight")  # (D,3,p,p)
+    D, C, ph, pw = patch_w.shape
+    # my patchify flattens (ph, pw, c); conv has no bias in CLIP
+    kernel = patch_w.transpose(2, 3, 1, 0).reshape(ph * pw * C, D)
+    p: Dict[str, Any] = {
+        "patch_embed": {"kernel": kernel, "bias": np.zeros((D,), np.float32)},
+        "class_embedding": g("vision_model.embeddings.class_embedding"),
+        "position_embedding": g("vision_model.embeddings.position_embedding.weight"),
+        "pre_layernorm": {"scale": g("vision_model.pre_layrnorm.weight"),
+                          "bias": g("vision_model.pre_layrnorm.bias")},
+        "post_layernorm": {"scale": g("vision_model.post_layernorm.weight"),
+                           "bias": g("vision_model.post_layernorm.bias")},
+        "visual_projection": {"kernel": _t(g("visual_projection.weight"))},
+    }
+    for i in range(num_layers):
+        b = f"vision_model.encoder.layers.{i}."
+        p[f"layer_{i}"] = {
+            "norm1": {"scale": g(b + "layer_norm1.weight"),
+                      "bias": g(b + "layer_norm1.bias")},
+            "norm2": {"scale": g(b + "layer_norm2.weight"),
+                      "bias": g(b + "layer_norm2.bias")},
+            "q_proj": {"kernel": _t(g(b + "self_attn.q_proj.weight")),
+                       "bias": g(b + "self_attn.q_proj.bias")},
+            "k_proj": {"kernel": _t(g(b + "self_attn.k_proj.weight")),
+                       "bias": g(b + "self_attn.k_proj.bias")},
+            "v_proj": {"kernel": _t(g(b + "self_attn.v_proj.weight")),
+                       "bias": g(b + "self_attn.v_proj.bias")},
+            "out_proj": {"kernel": _t(g(b + "self_attn.out_proj.weight")),
+                         "bias": g(b + "self_attn.out_proj.bias")},
+            "fc1": {"kernel": _t(g(b + "mlp.fc1.weight")),
+                    "bias": g(b + "mlp.fc1.bias")},
+            "fc2": {"kernel": _t(g(b + "mlp.fc2.weight")),
+                    "bias": g(b + "mlp.fc2.bias")},
+        }
+    return p
+
+
+def convert_clip_model(sd: Dict[str, np.ndarray], text_layers: int,
+                       vision_layers: int) -> Dict:
+    """Full HF CLIPModel (PickScore CLIP-H) -> CLIPDualEncoder params."""
+    return {
+        "text": convert_clip_text(sd, text_layers),
+        "vision": convert_clip_vision(sd, vision_layers),
+        "logit_scale": np.asarray(sd["logit_scale"], np.float32).reshape(()),
+    }
+
+
+# ───────────────────────────── T5 ─────────────────────────────
+
+
+def convert_t5_encoder(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    g = _Taken(sd)
+    emb_key = "shared.weight" if g.has("shared.weight") else "encoder.embed_tokens.weight"
+    p: Dict[str, Any] = {
+        "token_embedding": {"embedding": g(emb_key)},
+        "relative_attention_bias": g(
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"),
+        "final_ln": {"weight": g("encoder.final_layer_norm.weight")},
+    }
+    for i in range(num_layers):
+        b = f"encoder.block.{i}.layer."
+        p[f"block_{i}"] = {
+            "ln_attn": {"weight": g(b + "0.layer_norm.weight")},
+            "q": {"kernel": _t(g(b + "0.SelfAttention.q.weight"))},
+            "k": {"kernel": _t(g(b + "0.SelfAttention.k.weight"))},
+            "v": {"kernel": _t(g(b + "0.SelfAttention.v.weight"))},
+            "o": {"kernel": _t(g(b + "0.SelfAttention.o.weight"))},
+            "ln_ff": {"weight": g(b + "1.layer_norm.weight")},
+            "wi_0": {"kernel": _t(g(b + "1.DenseReluDense.wi_0.weight"))},
+            "wi_1": {"kernel": _t(g(b + "1.DenseReluDense.wi_1.weight"))},
+            "wo": {"kernel": _t(g(b + "1.DenseReluDense.wo.weight"))},
+        }
+    return p
+
+
+# ───────────────────────────── MMDiT (diffusers SD3Transformer2DModel) ───────
+
+
+def convert_mmdit(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    g = _Taken(sd)
+    patch_w = g("pos_embed.proj.weight")  # (dim, C, p, p)
+    dim, C, p_, _ = patch_w.shape
+    params: Dict[str, Any] = {
+        "pos_embed_proj": {
+            "kernel": patch_w.transpose(2, 3, 1, 0).reshape(p_ * p_ * C, dim),
+            "bias": g("pos_embed.proj.bias"),
+        },
+        "time_embed_1": {"kernel": _t(g("time_text_embed.timestep_embedder.linear_1.weight")),
+                         "bias": g("time_text_embed.timestep_embedder.linear_1.bias")},
+        "time_embed_2": {"kernel": _t(g("time_text_embed.timestep_embedder.linear_2.weight")),
+                         "bias": g("time_text_embed.timestep_embedder.linear_2.bias")},
+        "pooled_embed_1": {"kernel": _t(g("time_text_embed.text_embedder.linear_1.weight")),
+                           "bias": g("time_text_embed.text_embedder.linear_1.bias")},
+        "pooled_embed_2": {"kernel": _t(g("time_text_embed.text_embedder.linear_2.weight")),
+                           "bias": g("time_text_embed.text_embedder.linear_2.bias")},
+        "context_embedder": {"kernel": _t(g("context_embedder.weight")),
+                             "bias": g("context_embedder.bias")},
+        "norm_out": {"linear": {"kernel": _t(g("norm_out.linear.weight")),
+                                "bias": g("norm_out.linear.bias")}},
+        "proj_out": {"kernel": _t(g("proj_out.weight")), "bias": g("proj_out.bias")},
+    }
+
+    def dense(prefix, lora=False):
+        d = {"kernel": _t(g(prefix + ".weight")), "bias": g(prefix + ".bias")}
+        return d
+
+    for i in range(cfg.num_layers):
+        b = f"transformer_blocks.{i}."
+        blk: Dict[str, Any] = {
+            "norm1": {"linear": dense(b + "norm1.linear")},
+            "norm1_context": {"linear": dense(b + "norm1_context.linear")},
+            "ff": {"fc1": dense(b + "ff.net.0.proj"), "fc2": dense(b + "ff.net.2")},
+        }
+        attn = {
+            "to_q": dense(b + "attn.to_q"),
+            "to_k": dense(b + "attn.to_k"),
+            "to_v": dense(b + "attn.to_v"),
+            "to_out": dense(b + "attn.to_out.0"),
+            "add_q_proj": dense(b + "attn.add_q_proj"),
+            "add_k_proj": dense(b + "attn.add_k_proj"),
+            "add_v_proj": dense(b + "attn.add_v_proj"),
+        }
+        if cfg.qk_norm:
+            attn["norm_q"] = {"weight": g(b + "attn.norm_q.weight")}
+            attn["norm_k"] = {"weight": g(b + "attn.norm_k.weight")}
+            attn["norm_added_q"] = {"weight": g(b + "attn.norm_added_q.weight")}
+            attn["norm_added_k"] = {"weight": g(b + "attn.norm_added_k.weight")}
+        last = i == cfg.num_layers - 1
+        if not last:
+            attn["to_add_out"] = dense(b + "attn.to_add_out")
+            blk["ff_context"] = {"fc1": dense(b + "ff_context.net.0.proj"),
+                                 "fc2": dense(b + "ff_context.net.2")}
+        blk["attn"] = attn
+        if i in cfg.dual_attention_layers:
+            a2 = {
+                "to_q": dense(b + "attn2.to_q"),
+                "to_k": dense(b + "attn2.to_k"),
+                "to_v": dense(b + "attn2.to_v"),
+                "to_out": dense(b + "attn2.to_out.0"),
+            }
+            if cfg.qk_norm:
+                a2["norm_q"] = {"weight": g(b + "attn2.norm_q.weight")}
+                a2["norm_k"] = {"weight": g(b + "attn2.norm_k.weight")}
+            blk["attn2"] = a2
+        params[f"block_{i}"] = blk
+    return params
+
+
+# ───────────────────────────── VAE (diffusers AutoencoderKL) ─────────────────
+
+
+def _resnet(g, prefix):
+    out = {
+        "norm1": {"scale": g(prefix + "norm1.weight"), "bias": g(prefix + "norm1.bias")},
+        "conv1": {"kernel": _conv(g(prefix + "conv1.weight")),
+                  "bias": g(prefix + "conv1.bias")},
+        "norm2": {"scale": g(prefix + "norm2.weight"), "bias": g(prefix + "norm2.bias")},
+        "conv2": {"kernel": _conv(g(prefix + "conv2.weight")),
+                  "bias": g(prefix + "conv2.bias")},
+    }
+    if g.has(prefix + "conv_shortcut.weight"):
+        out["conv_shortcut"] = {"kernel": _conv(g(prefix + "conv_shortcut.weight")),
+                                "bias": g(prefix + "conv_shortcut.bias")}
+    return out
+
+
+def _vae_attn(g, prefix):
+    return {
+        "group_norm": {"scale": g(prefix + "group_norm.weight"),
+                       "bias": g(prefix + "group_norm.bias")},
+        "to_q": {"kernel": _t(g(prefix + "to_q.weight")), "bias": g(prefix + "to_q.bias")},
+        "to_k": {"kernel": _t(g(prefix + "to_k.weight")), "bias": g(prefix + "to_k.bias")},
+        "to_v": {"kernel": _t(g(prefix + "to_v.weight")), "bias": g(prefix + "to_v.bias")},
+        "to_out": {"kernel": _t(g(prefix + "to_out.0.weight")),
+                   "bias": g(prefix + "to_out.0.bias")},
+    }
+
+
+def convert_vae(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    g = _Taken(sd)
+    n_blocks = len(cfg.block_out_channels)
+    enc: Dict[str, Any] = {
+        "conv_in": {"kernel": _conv(g("encoder.conv_in.weight")),
+                    "bias": g("encoder.conv_in.bias")},
+        "conv_norm_out": {"scale": g("encoder.conv_norm_out.weight"),
+                          "bias": g("encoder.conv_norm_out.bias")},
+        "conv_out": {"kernel": _conv(g("encoder.conv_out.weight")),
+                     "bias": g("encoder.conv_out.bias")},
+        "mid_res_0": _resnet(g, "encoder.mid_block.resnets.0."),
+        "mid_res_1": _resnet(g, "encoder.mid_block.resnets.1."),
+        "mid_attn": _vae_attn(g, "encoder.mid_block.attentions.0."),
+    }
+    for i in range(n_blocks):
+        for j in range(cfg.layers_per_block):
+            enc[f"down_{i}_res_{j}"] = _resnet(g, f"encoder.down_blocks.{i}.resnets.{j}.")
+        if i < n_blocks - 1:
+            enc[f"down_{i}_downsample"] = {
+                "kernel": _conv(g(f"encoder.down_blocks.{i}.downsamplers.0.conv.weight")),
+                "bias": g(f"encoder.down_blocks.{i}.downsamplers.0.conv.bias")}
+    dec: Dict[str, Any] = {
+        "conv_in": {"kernel": _conv(g("decoder.conv_in.weight")),
+                    "bias": g("decoder.conv_in.bias")},
+        "conv_norm_out": {"scale": g("decoder.conv_norm_out.weight"),
+                          "bias": g("decoder.conv_norm_out.bias")},
+        "conv_out": {"kernel": _conv(g("decoder.conv_out.weight")),
+                     "bias": g("decoder.conv_out.bias")},
+        "mid_res_0": _resnet(g, "decoder.mid_block.resnets.0."),
+        "mid_res_1": _resnet(g, "decoder.mid_block.resnets.1."),
+        "mid_attn": _vae_attn(g, "decoder.mid_block.attentions.0."),
+    }
+    for i in range(n_blocks):
+        for j in range(cfg.layers_per_block + 1):
+            dec[f"up_{i}_res_{j}"] = _resnet(g, f"decoder.up_blocks.{i}.resnets.{j}.")
+        if i < n_blocks - 1:
+            dec[f"up_{i}_upsample"] = {
+                "kernel": _conv(g(f"decoder.up_blocks.{i}.upsamplers.0.conv.weight")),
+                "bias": g(f"decoder.up_blocks.{i}.upsamplers.0.conv.bias")}
+    return {"encoder": enc, "decoder": dec}
+
+
+# ───────────────────────────── DINOv2 (timm) ─────────────────────────────
+
+
+def convert_dinov2(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    g = _Taken(sd)
+    patch_w = g("patch_embed.proj.weight")  # (D,3,p,p)
+    D, C, ph, pw = patch_w.shape
+    p: Dict[str, Any] = {
+        "patch_embed": {"kernel": patch_w.transpose(2, 3, 1, 0).reshape(ph * pw * C, D),
+                        "bias": g("patch_embed.proj.bias")},
+        "class_embedding": np.asarray(g("cls_token")).reshape(D),
+        "position_embedding": np.asarray(g("pos_embed")).reshape(-1, D),
+        "post_layernorm": {"scale": g("norm.weight"), "bias": g("norm.bias")},
+    }
+    for i in range(num_layers):
+        b = f"blocks.{i}."
+        qkv_w = g(b + "attn.qkv.weight")  # (3D, D)
+        qkv_b = g(b + "attn.qkv.bias")
+        qw, kw, vw = np.split(qkv_w, 3, axis=0)
+        qb, kb, vb = np.split(qkv_b, 3, axis=0)
+        p[f"layer_{i}"] = {
+            "norm1": {"scale": g(b + "norm1.weight"), "bias": g(b + "norm1.bias")},
+            "norm2": {"scale": g(b + "norm2.weight"), "bias": g(b + "norm2.bias")},
+            "q_proj": {"kernel": _t(qw), "bias": qb},
+            "k_proj": {"kernel": _t(kw), "bias": kb},
+            "v_proj": {"kernel": _t(vw), "bias": vb},
+            "out_proj": {"kernel": _t(g(b + "attn.proj.weight")),
+                         "bias": g(b + "attn.proj.bias")},
+            "fc1": {"kernel": _t(g(b + "mlp.fc1.weight")), "bias": g(b + "mlp.fc1.bias")},
+            "fc2": {"kernel": _t(g(b + "mlp.fc2.weight")), "bias": g(b + "mlp.fc2.bias")},
+            "ls1": g(b + "ls1.gamma"),
+            "ls2": g(b + "ls2.gamma"),
+        }
+    return p
+
+
+# ───────────────────────────── aesthetic MLP ─────────────────────────────
+
+
+def convert_aesthetic_mlp(sd: Dict[str, np.ndarray]) -> Dict:
+    """LAION sac+logos+ava1-l14-linearMSE .pth layout: layers.{0,2,4,6,7}."""
+    g = _Taken(sd)
+    names = ["fc0", "fc1", "fc2", "fc3", "out"]
+    idxs = [0, 2, 4, 6, 7]
+    return {n: {"kernel": _t(g(f"layers.{i}.weight")), "bias": g(f"layers.{i}.bias")}
+            for n, i in zip(names, idxs)}
+
+
+# ───────────────────────────── pipeline loader ─────────────────────────────
+
+
+def load_sd3_pipeline(model_dir: str, *, lora_rank=0, lora_alpha=1.0,
+                      dtype=None, attention_backend=None, remat=True):
+    """Assemble an SD3Pipeline from a local diffusers-layout directory
+    (transformer/, vae/, text_encoder{,_2,_3}/ subfolders with safetensors)."""
+    import jax.numpy as jnp
+
+    from adv_grpo_tpu.models.mmdit import MMDiT, MMDiTConfig
+    from adv_grpo_tpu.models.vae import AutoencoderKL, VAEConfig
+    from adv_grpo_tpu.train.pipeline import SD3Pipeline
+
+    dtype = dtype or jnp.bfloat16
+    with open(os.path.join(model_dir, "transformer", "config.json")) as f:
+        tc = json.load(f)
+    mmdit_cfg = MMDiTConfig(
+        patch_size=tc["patch_size"], in_channels=tc["in_channels"],
+        out_channels=tc.get("out_channels") or tc["in_channels"],
+        num_layers=tc["num_layers"], attention_head_dim=tc["attention_head_dim"],
+        num_attention_heads=tc["num_attention_heads"],
+        joint_attention_dim=tc["joint_attention_dim"],
+        pooled_projection_dim=tc["pooled_projection_dim"],
+        pos_embed_max_size=tc.get("pos_embed_max_size", 384),
+        qk_norm=tc.get("qk_norm") is not None,
+        dual_attention_layers=tuple(tc.get("dual_attention_layers", ())),
+        dtype=dtype, lora_rank=lora_rank, lora_alpha=lora_alpha, remat=remat,
+        attention_backend=attention_backend,
+    )
+    t_sd = load_torch_state_dict(os.path.join(model_dir, "transformer"))
+    params = convert_mmdit(t_sd, mmdit_cfg)
+    if lora_rank > 0:
+        params = _add_lora_leaves(params, mmdit_cfg)
+
+    with open(os.path.join(model_dir, "vae", "config.json")) as f:
+        vc = json.load(f)
+    vae_cfg = VAEConfig(
+        latent_channels=vc["latent_channels"],
+        block_out_channels=tuple(vc["block_out_channels"]),
+        layers_per_block=vc["layers_per_block"],
+        scaling_factor=vc["scaling_factor"], shift_factor=vc.get("shift_factor", 0.0),
+    )
+    v_sd = load_torch_state_dict(os.path.join(model_dir, "vae"))
+    vae_params = convert_vae(v_sd, vae_cfg)
+
+    return SD3Pipeline(
+        mmdit_cfg, vae_cfg, MMDiT(mmdit_cfg), AutoencoderKL(vae_cfg),
+        {"params": params}, {"params": vae_params})
+
+
+def _add_lora_leaves(params: Dict, cfg) -> Dict:
+    """Insert zero-init-B / gaussian-A adapters into converted trees (PEFT
+    init semantics, reference train_sd3_fast_pickscore.py:503-505)."""
+    rng = np.random.default_rng(0)
+    r = cfg.lora_rank
+    for i in range(cfg.num_layers):
+        attn = params[f"block_{i}"]["attn"]
+        for name, leaf in attn.items():
+            if not isinstance(leaf, dict) or "kernel" not in leaf:
+                continue
+            kin, kout = leaf["kernel"].shape
+            leaf["lora_a"] = rng.normal(0, 1.0 / r, (kin, r)).astype(np.float32)
+            leaf["lora_b"] = np.zeros((r, kout), np.float32)
+    return params

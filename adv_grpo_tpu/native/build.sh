@@ -1,0 +1,6 @@
+#!/bin/sh
+# Build the native host-helper shared library.
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -shared -fPIC -o libadvgrpo_native.so levenshtein.cpp
+echo "built $(pwd)/libadvgrpo_native.so"

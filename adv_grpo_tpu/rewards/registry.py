@@ -1,0 +1,137 @@
+"""Multi-reward registry: weighted scorer ensembles.
+
+Mirrors the reference ``multi_score`` contract (adv_grpo/rewards.py:1012-1095):
+``multi_score(score_dict, ctx) -> fn(images, prompts, metadata, ref_images=...,
+...) -> (score_details, {})`` where score_details maps each scorer name to its
+per-sample scores and ``'avg'`` to the weight-summed ensemble. The same scorer
+names are kept so reference configs port verbatim.
+
+TPU re-design: device scorers (pickscore, clipscore, aesthetic, dino/similarity
+families) consume the on-device image batch and run as jitted model calls;
+host scorers (jpeg, ocr, remote judges) take the uint8 copy. A RewardContext
+carries the live scorer objects + params (the co-trained discriminator state
+the reference threads through ``scorer=``/``head=`` args, :1047-1081).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from adv_grpo_tpu.native.lib import images_to_uint8
+
+
+@dataclasses.dataclass
+class RewardContext:
+    """Everything scorers may need. Populate only what the preset uses."""
+
+    pickscore: Optional[Any] = None  # PickScoreScorer
+    pickscore_params: Optional[Any] = None  # live (possibly co-trained) params
+    clip: Optional[Any] = None  # CLIPScorer
+    clip_params: Optional[Any] = None
+    aesthetic: Optional[Any] = None  # AestheticScorer
+    aesthetic_params: Optional[Any] = None
+    dino: Optional[Any] = None  # DINOScorer
+    dino_backbone_params: Optional[Any] = None
+    dino_head_params: Optional[Any] = None  # live co-trained head
+    tokenize: Optional[Callable[[List[str]], np.ndarray]] = None  # CLIP 77-tok
+    ocr: Optional[Any] = None  # OcrScorer
+    remote: Dict[str, Callable] = dataclasses.field(default_factory=dict)
+    rng: Optional[Any] = None  # jax PRNG key for patch sampling
+
+
+def _require(obj, name, what):
+    if obj is None:
+        raise RuntimeError(f"reward '{name}' needs {what} in RewardContext")
+    return obj
+
+
+def multi_score(score_dict: Dict[str, float], ctx: RewardContext):
+    """Build the weighted ensemble fn for the given {name: weight} dict."""
+
+    def _device_scores(name, images, prompts, metadata, ref_images):
+        import jax.numpy as jnp
+        import jax
+
+        if name == "pickscore":
+            s = _require(ctx.pickscore, name, "pickscore scorer")
+            ids = _require(ctx.tokenize, name, "tokenize")(prompts)
+            return np.asarray(s.score(ctx.pickscore_params, images, jnp.asarray(ids)))
+        if name == "pickscore_cotrain":
+            # live co-trained params — same math, current weights (rewards.py:577-589)
+            s = _require(ctx.pickscore, name, "pickscore scorer")
+            ids = _require(ctx.tokenize, name, "tokenize")(prompts)
+            return np.asarray(s.score(ctx.pickscore_params, images, jnp.asarray(ids)))
+        if name == "clipscore":
+            s = _require(ctx.clip, name, "clip scorer")
+            ids = _require(ctx.tokenize, name, "tokenize")(prompts)
+            return np.asarray(s.score(ctx.clip_params, images, jnp.asarray(ids)))
+        if name == "aesthetic":
+            s = _require(ctx.aesthetic, name, "aesthetic scorer")
+            return np.asarray(s.score(ctx.aesthetic_params, images))
+        if name == "image_similarity":
+            s = _require(ctx.dino, name, "dino scorer")
+            refs = _require(ref_images, name, "ref_images")
+            return np.asarray(s.similarity_to_refs(ctx.dino_backbone_params,
+                                                   images, refs))
+        if name == "dino_cotrain":
+            s = _require(ctx.dino, name, "dino scorer")
+            return np.asarray(s.cotrain_score(ctx.dino_backbone_params,
+                                              ctx.dino_head_params, images))
+        if name == "dino_patch_cotrain":
+            s = _require(ctx.dino, name, "dino scorer")
+            key = _require(ctx.rng, name, "rng key")
+            return np.asarray(s.patch_cotrain_score(
+                ctx.dino_backbone_params, ctx.dino_head_params, images, key))
+        raise KeyError(name)
+
+    DEVICE = {"pickscore", "pickscore_cotrain", "clipscore", "aesthetic",
+              "image_similarity", "dino_cotrain", "dino_patch_cotrain"}
+    HOST = {"jpeg_compressibility", "jpeg_incompressibility", "ocr"}
+    REMOTE = {"geneval", "deqa", "unifiedreward", "qwenvl", "imagereward"}
+
+    for name in score_dict:
+        if name not in DEVICE | HOST | REMOTE:
+            raise KeyError(
+                f"unknown reward '{name}' (known: {sorted(DEVICE | HOST | REMOTE)})"
+            )
+
+    def _fn(images, prompts, metadata=None, ref_images=None, only_strict=True):
+        """images: device array (B,3,H,W) in [-1,1] (or numpy). Returns
+        (score_details incl. 'avg', {})."""
+        score_details: Dict[str, Any] = {}
+        total = None
+        images_u8 = None
+
+        def u8():
+            nonlocal images_u8
+            if images_u8 is None:
+                images_u8 = images_to_uint8(np.asarray(images, np.float32))
+            return images_u8
+
+        for name, weight in score_dict.items():
+            if name in DEVICE:
+                scores = _device_scores(name, images, prompts, metadata, ref_images)
+            elif name == "jpeg_compressibility":
+                from adv_grpo_tpu.rewards.host import jpeg_compressibility
+                scores = jpeg_compressibility(u8())
+            elif name == "jpeg_incompressibility":
+                from adv_grpo_tpu.rewards.host import jpeg_incompressibility
+                scores = jpeg_incompressibility(u8())
+            elif name == "ocr":
+                scorer = _require(ctx.ocr, name, "ocr scorer")
+                scores = scorer(u8(), prompts)
+            else:  # remote judges
+                fn = ctx.remote.get(name)
+                scores = _require(fn, name, f"remote['{name}'] client")(
+                    u8(), prompts, metadata)
+            scores = np.asarray(scores, dtype=np.float64)
+            score_details[name] = scores
+            total = weight * scores if total is None else total + weight * scores
+
+        score_details["avg"] = total
+        return score_details, {}
+
+    return _fn

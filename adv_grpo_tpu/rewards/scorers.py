@@ -1,0 +1,217 @@
+"""Device-side neural reward scorers (batched, jitted).
+
+Each scorer owns its Flax modules + params and exposes
+``score(images, text_ids or embeds, ...) -> (B,) float`` plus the feature hooks
+the adversarial D-steps need. Parity targets in adv_grpo/rewards.py (file:line
+per class). Weights load via models.convert from local HF checkpoints; tests run
+tiny random-init configs — scorer VALUES are weight-dependent, scorer MATH is
+what these classes pin down.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from adv_grpo_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+from adv_grpo_tpu.models.vit import ViTConfig, VisionTransformer
+from adv_grpo_tpu.models.aesthetic import AestheticHead
+from adv_grpo_tpu.rewards.preprocess import (
+    preprocess, CLIP_MEAN, CLIP_STD, IMAGENET_MEAN, IMAGENET_STD,
+)
+
+
+def _l2norm(x, axis=-1):
+    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+
+
+@dataclasses.dataclass
+class CLIPDualEncoder:
+    """A CLIP text+vision pair with a learnable logit scale (the trainable unit
+    of the adversarial PickScore loop)."""
+
+    text_cfg: CLIPTextConfig
+    vision_cfg: ViTConfig
+    image_size: int = 224
+
+    def __post_init__(self):
+        self.text_model = CLIPTextEncoder(self.text_cfg)
+        self.vision_model = VisionTransformer(self.vision_cfg)
+
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        ids = jnp.zeros((1, self.text_cfg.max_position_embeddings), jnp.int32)
+        img = jnp.zeros((1, 3, self.image_size, self.image_size))
+        return {
+            "text": self.text_model.init(k1, ids)["params"],
+            "vision": self.vision_model.init(k2, img)["params"],
+            "logit_scale": jnp.asarray(4.6052, jnp.float32),  # log(100)
+        }
+
+    def text_features(self, params, input_ids):
+        _, _, pooled = self.text_model.apply({"params": params["text"]}, input_ids)
+        return pooled
+
+    def image_features(self, params, pixel_values):
+        out = self.vision_model.apply({"params": params["vision"]}, pixel_values)
+        return out["pooled"]
+
+
+class PickScoreScorer:
+    """PickScore CLIP-H: score = logit_scale * (text . image) / 26
+    (reference adv_grpo/pickscore_scorer.py:47-51; /26 keeps scores ~0-1)."""
+
+    def __init__(self, text_cfg=None, vision_cfg=None, image_size=224):
+        self.clip = CLIPDualEncoder(
+            text_cfg or CLIPTextConfig.clip_h_text(),
+            vision_cfg or ViTConfig.clip_h(),
+            image_size=image_size,
+        )
+        self.image_size = image_size
+
+    def init_params(self, key):
+        return self.clip.init_params(key)
+
+    def preprocess(self, images):
+        return preprocess(images, self.image_size, CLIP_MEAN, CLIP_STD)
+
+    def features(self, params, images, input_ids):
+        pix = self.preprocess(images)
+        img = _l2norm(self.clip.image_features(params, pix))
+        txt = _l2norm(self.clip.text_features(params, input_ids))
+        return img, txt
+
+    def score(self, params, images, input_ids):
+        img, txt = self.features(params, images, input_ids)
+        logit_scale = jnp.exp(params["logit_scale"])
+        return logit_scale * jnp.sum(txt * img, axis=-1) / 26.0
+
+
+class CLIPScorer:
+    """CLIP-L text-image score /30 + image-image similarity
+    (reference adv_grpo/clip_scorer.py:47-71)."""
+
+    def __init__(self, text_cfg=None, vision_cfg=None, image_size=224):
+        self.clip = CLIPDualEncoder(
+            text_cfg or CLIPTextConfig.clip_l(),
+            vision_cfg or ViTConfig.clip_l(),
+            image_size=image_size,
+        )
+        self.image_size = image_size
+
+    def init_params(self, key):
+        return self.clip.init_params(key)
+
+    def score(self, params, images, input_ids):
+        pix = preprocess(images, self.image_size, CLIP_MEAN, CLIP_STD)
+        img = _l2norm(self.clip.image_features(params, pix))
+        txt = _l2norm(self.clip.text_features(params, input_ids))
+        logit_scale = jnp.exp(params["logit_scale"])
+        return logit_scale * jnp.sum(txt * img, axis=-1) / 30.0
+
+    def image_similarity(self, params, images_a, images_b):
+        pa = preprocess(images_a, self.image_size, CLIP_MEAN, CLIP_STD)
+        pb = preprocess(images_b, self.image_size, CLIP_MEAN, CLIP_STD)
+        fa = _l2norm(self.clip.image_features(params, pa))
+        fb = _l2norm(self.clip.image_features(params, pb))
+        return jnp.sum(fa * fb, axis=-1)
+
+
+class AestheticScorer:
+    """CLIP-L image embedding -> LAION MLP head
+    (reference adv_grpo/aesthetic_scorer.py:33-53)."""
+
+    def __init__(self, vision_cfg=None, image_size=224):
+        self.vision_cfg = vision_cfg or ViTConfig.clip_l()
+        self.vision = VisionTransformer(self.vision_cfg)
+        self.head = AestheticHead()
+        self.image_size = image_size
+
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        img = jnp.zeros((1, 3, self.image_size, self.image_size))
+        vparams = self.vision.init(k1, img)["params"]
+        dim = self.vision_cfg.projection_dim
+        hparams = self.head.init(k2, jnp.zeros((1, dim)))["params"]
+        return {"vision": vparams, "head": hparams}
+
+    def score(self, params, images):
+        pix = preprocess(images, self.image_size, CLIP_MEAN, CLIP_STD)
+        emb = self.vision.apply({"params": params["vision"]}, pix)["pooled"]
+        return self.head.apply({"params": params["head"]}, emb)
+
+
+class DINOScorer:
+    """DINOv2 backbone feature extraction + similarity / discriminator scores.
+
+    Covers reference scorers:
+      * image_similarity_score (rewards.py:147-203): cosine(CLS, refs).max over
+        per-prompt reference images, 518px ImageNet preprocessing
+      * dino_cotrain_score (:266-294): trained head on frozen CLS
+      * dino_patch_cotrain_score (:375-434): 0.7 * head(CLS) + 0.3 *
+        mean(head(random patches))
+    """
+
+    def __init__(self, vision_cfg=None, image_size=518, head_hidden=512):
+        self.vision_cfg = vision_cfg or ViTConfig.dinov2_base()
+        self.vision = VisionTransformer(self.vision_cfg)
+        self.image_size = image_size
+        self.head_hidden = head_hidden
+        import flax.linen as nn
+
+        class DINOHead(nn.Module):
+            hidden: int
+
+            @nn.compact
+            def __call__(self, x):
+                h = nn.Dense(self.hidden, param_dtype=jnp.float32, name="fc1")(x)
+                h = nn.gelu(h, approximate=False)
+                return nn.Dense(1, param_dtype=jnp.float32, name="fc2")(h).squeeze(-1)
+
+        self.head = DINOHead(self.head_hidden)
+
+    def init_backbone(self, key):
+        img = jnp.zeros((1, 3, self.image_size, self.image_size))
+        return self.vision.init(key, img)["params"]
+
+    def init_head(self, key):
+        dim = self.vision_cfg.hidden_size
+        return self.head.init(key, jnp.zeros((1, dim)))["params"]
+
+    def preprocess(self, images):
+        return preprocess(images, self.image_size, IMAGENET_MEAN, IMAGENET_STD)
+
+    def features(self, backbone_params, images):
+        """-> (B, 1+N, D) tokens (CLS at 0), frozen backbone."""
+        pix = self.preprocess(images)
+        out = self.vision.apply({"params": backbone_params}, pix)
+        return jax.lax.stop_gradient(out["tokens"])
+
+    def similarity_to_refs(self, backbone_params, images, ref_images):
+        """cosine(CLS(img), CLS(ref)).max over refs. ref_images: (B, R, 3, H, W)."""
+        cls = _l2norm(self.features(backbone_params, images)[:, 0])
+        B, R = ref_images.shape[:2]
+        refs = ref_images.reshape((B * R,) + ref_images.shape[2:])
+        ref_cls = _l2norm(self.features(backbone_params, refs)[:, 0])
+        ref_cls = ref_cls.reshape(B, R, -1)
+        sims = jnp.einsum("bd,brd->br", cls, ref_cls)
+        return jnp.max(sims, axis=1)
+
+    def cotrain_score(self, backbone_params, head_params, images):
+        cls = self.features(backbone_params, images)[:, 0]
+        return self.head.apply({"params": head_params}, cls)
+
+    def patch_cotrain_score(self, backbone_params, head_params, images, key,
+                            n_patches=64, cls_weight=0.7, patch_weight=0.3):
+        toks = self.features(backbone_params, images)
+        cls, patches = toks[:, 0], toks[:, 1:]
+        B, N, D = patches.shape
+        n_sel = min(n_patches, N)
+        idx = jax.random.randint(key, (B, n_sel), 0, N)
+        sel = jnp.take_along_axis(patches, idx[..., None], axis=1)
+        cls_logit = self.head.apply({"params": head_params}, cls)
+        patch_logit = self.head.apply({"params": head_params}, sel)
+        return cls_weight * cls_logit + patch_weight * jnp.mean(patch_logit, axis=1)

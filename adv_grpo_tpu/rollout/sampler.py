@@ -79,7 +79,10 @@ def denoise_with_logprob(
     timesteps = jnp.asarray(sched.timesteps)  # (n,)
     B = latents.shape[0]
     T = cfg.train_num_steps
-    rt = jnp.asarray(random_timestep, jnp.int32)
+    # random_timestep may be a scalar or a per-sample (B,) vector — the
+    # reference seeds it per rank (sd3_..._fast.py:585-587); in SPMD the global
+    # batch carries each rank-group's window position per sample.
+    rt = jnp.broadcast_to(jnp.asarray(random_timestep, jnp.int32), (B,))
 
     if cfg.do_cfg:
         embeds = jnp.concatenate([neg_prompt_embeds, prompt_embeds], axis=0)
@@ -91,8 +94,8 @@ def denoise_with_logprob(
         x, k = carry
         t = timesteps[i]
         sig, sig_prev = sigmas[i], sigmas[i + 1]
-        in_window = (i >= rt) & (i < rt + T)
-        nl = jnp.where(in_window, cfg.noise_level, 0.0)
+        in_window = (i >= rt) & (i < rt + T)  # (B,)
+        nl = jnp.where(in_window, cfg.noise_level, 0.0)  # per-sample
 
         if cfg.do_cfg:
             model_in = jnp.concatenate([x, x], axis=0)
@@ -122,13 +125,17 @@ def denoise_with_logprob(
         return RolloutResult(final, jnp.zeros((B, 0) + final.shape[1:]),
                              empty, empty, empty, empty)
 
-    def window(arr):
-        # (num_steps, B, ...) -> (B, T, ...) slice starting at rt
-        sl = jax.lax.dynamic_slice_in_dim(arr, rt, T, axis=0)
-        return jnp.moveaxis(sl, 0, 1)
+    steps_idx = rt[:, None] + jnp.arange(T)[None, :]  # (B, T)
 
-    x_in0 = jnp.moveaxis(
-        jax.lax.dynamic_slice_in_dim(ys["x_in"], rt, 1, axis=0), 0, 1
+    def window(arr):
+        # (num_steps, B, ...) -> (B, T, ...) gathered at per-sample window steps
+        a = jnp.moveaxis(arr, 0, 1)  # (B, num_steps, ...)
+        idx = steps_idx.reshape(steps_idx.shape + (1,) * (a.ndim - 2))
+        return jnp.take_along_axis(a, idx, axis=1)
+
+    x_in_all = jnp.moveaxis(ys["x_in"], 0, 1)  # (B, num_steps, C, h, w)
+    x_in0 = jnp.take_along_axis(
+        x_in_all, rt.reshape(B, 1, 1, 1, 1), axis=1
     )  # (B, 1, C, h, w): window entry latent
     lat_window = jnp.concatenate([x_in0, window(ys["x_out"])], axis=1)
     return RolloutResult(
@@ -177,7 +184,8 @@ def compute_log_prob(
     return out.log_prob, out.prev_sample_mean, out.std_dev_t
 
 
-def sample_random_timestep(key, cfg: SamplerConfig):
+def sample_random_timestep(key, cfg: SamplerConfig, shape=()):
     """Window start ~ U{0, num_steps//2} (reference sd3_..._fast.py:585-587,
-    seeded per process; here keyed by the caller's folded PRNG key)."""
-    return jax.random.randint(key, (), 0, cfg.num_steps // 2 + 1)
+    seeded per process; here keyed by the caller's folded PRNG key). Pass
+    shape=(B,) for per-sample windows across an SPMD global batch."""
+    return jax.random.randint(key, shape, 0, cfg.num_steps // 2 + 1)

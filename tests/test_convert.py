@@ -1,0 +1,156 @@
+"""Weight-conversion parity tests against live `transformers` torch models.
+
+Tiny random-weight HF models are converted and their outputs compared
+numerically — this is the strongest conversion check available without model
+downloads (diffusers/timm are absent; their converters get structural tests
+via synthetic state dicts in the MMDiT/VAE cases below when feasible).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from adv_grpo_tpu.models.clip_text import CLIPTextEncoder, CLIPTextConfig
+from adv_grpo_tpu.models.t5 import T5Encoder, T5Config
+from adv_grpo_tpu.models.vit import VisionTransformer, ViTConfig
+from adv_grpo_tpu.models import convert
+
+
+def _sd_numpy(model):
+    return {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+
+
+class TestCLIPTextParity:
+    def test_clip_text_matches_hf(self):
+        torch.manual_seed(0)
+        hf_cfg = transformers.CLIPTextConfig(
+            vocab_size=99, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2,
+            max_position_embeddings=16, projection_dim=24,
+            eos_token_id=98, bos_token_id=97, hidden_act="quick_gelu")
+        torch_model = transformers.CLIPTextModelWithProjection(hf_cfg).eval()
+        ids = torch.tensor([[97, 5, 6, 7, 98, 0, 0, 0]])
+        with torch.no_grad():
+            out = torch_model(ids, output_hidden_states=True)
+
+        cfg = CLIPTextConfig(vocab_size=99, hidden_size=32, intermediate_size=64,
+                             num_layers=2, num_heads=2, max_position_embeddings=16,
+                             projection_dim=24, hidden_act="quick_gelu",
+                             eos_token_id=98)
+        params = convert.convert_clip_text(_sd_numpy(torch_model), 2)
+        model = CLIPTextEncoder(cfg)
+        final, penult, pooled = model.apply({"params": params},
+                                            jnp.asarray(ids.numpy()))
+        np.testing.assert_allclose(np.asarray(final),
+                                   out.last_hidden_state.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(penult),
+                                   out.hidden_states[-2].numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(pooled),
+                                   out.text_embeds.numpy(), atol=1e-4)
+
+
+class TestT5Parity:
+    def test_t5_encoder_matches_hf(self):
+        torch.manual_seed(0)
+        hf_cfg = transformers.T5Config(
+            vocab_size=101, d_model=32, d_kv=8, d_ff=48, num_layers=2,
+            num_heads=4, relative_attention_num_buckets=8,
+            relative_attention_max_distance=20, feed_forward_proj="gated-gelu",
+            dropout_rate=0.0)
+        torch_model = transformers.T5EncoderModel(hf_cfg).eval()
+        ids = torch.tensor([[3, 4, 5, 6, 1, 0, 0, 0]])
+        mask = torch.tensor([[1, 1, 1, 1, 1, 0, 0, 0]])
+        with torch.no_grad():
+            out = torch_model(ids, attention_mask=mask).last_hidden_state
+
+        cfg = T5Config(vocab_size=101, d_model=32, d_kv=8, d_ff=48, num_layers=2,
+                       num_heads=4, relative_attention_num_buckets=8,
+                       relative_attention_max_distance=20, dtype=jnp.float32)
+        params = convert.convert_t5_encoder(_sd_numpy(torch_model), 2)
+        model = T5Encoder(cfg)
+        got = model.apply({"params": params}, jnp.asarray(ids.numpy()),
+                          jnp.asarray(mask.numpy().astype(bool)))
+        np.testing.assert_allclose(np.asarray(got)[:, :5], out.numpy()[:, :5],
+                                   atol=1e-4)
+
+
+class TestCLIPVisionParity:
+    def test_clip_vision_matches_hf(self):
+        torch.manual_seed(0)
+        hf_cfg = transformers.CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14,
+            projection_dim=24, hidden_act="quick_gelu")
+        torch_model = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
+        img = torch.randn(2, 3, 28, 28)
+        with torch.no_grad():
+            out = torch_model(img)
+
+        cfg = ViTConfig(image_size=28, patch_size=14, hidden_size=32,
+                        intermediate_size=64, num_layers=2, num_heads=2,
+                        projection_dim=24, hidden_act="quick_gelu")
+        params = convert.convert_clip_vision(_sd_numpy(torch_model), 2)
+        model = VisionTransformer(cfg)
+        got = model.apply({"params": params}, jnp.asarray(img.numpy()))
+        np.testing.assert_allclose(np.asarray(got["pooled"]),
+                                   out.image_embeds.numpy(), atol=1e-4)
+
+
+class TestStructuralConverters:
+    def test_mmdit_converter_consumes_synthetic_state(self):
+        # build a synthetic diffusers-style state dict for a tiny config and
+        # check the converted tree loads into the Flax module
+        from adv_grpo_tpu.models.mmdit import MMDiT, MMDiTConfig
+
+        cfg = MMDiTConfig.tiny(lora_rank=0)
+        dim = cfg.hidden_dim
+        rng = np.random.default_rng(0)
+        sd = {}
+
+        def lin(name, i, o):
+            sd[name + ".weight"] = rng.normal(0, 0.02, (o, i)).astype(np.float32)
+            sd[name + ".bias"] = np.zeros(o, np.float32)
+
+        sd["pos_embed.proj.weight"] = rng.normal(0, 0.02, (dim, 16, 2, 2)).astype(np.float32)
+        sd["pos_embed.proj.bias"] = np.zeros(dim, np.float32)
+        lin("time_text_embed.timestep_embedder.linear_1", 256, dim)
+        lin("time_text_embed.timestep_embedder.linear_2", dim, dim)
+        lin("time_text_embed.text_embedder.linear_1", cfg.pooled_projection_dim, dim)
+        lin("time_text_embed.text_embedder.linear_2", dim, dim)
+        lin("context_embedder", cfg.joint_attention_dim, dim)
+        lin("norm_out.linear", dim, 2 * dim)
+        lin("proj_out", dim, 4 * cfg.out_channels)
+        for i in range(cfg.num_layers):
+            b = f"transformer_blocks.{i}."
+            last = i == cfg.num_layers - 1
+            lin(b + "norm1.linear", dim, (9 if i in cfg.dual_attention_layers else 6) * dim)
+            lin(b + "norm1_context.linear", dim, (2 if last else 6) * dim)
+            for nm in ["to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj"]:
+                lin(b + f"attn.{nm}", dim, dim)
+            lin(b + "attn.to_out.0", dim, dim)
+            if not last:
+                lin(b + "attn.to_add_out", dim, dim)
+                lin(b + "ff_context.net.0.proj", dim, 4 * dim)
+                lin(b + "ff_context.net.2", 4 * dim, dim)
+            lin(b + "ff.net.0.proj", dim, 4 * dim)
+            lin(b + "ff.net.2", 4 * dim, dim)
+            for nq in ["norm_q", "norm_k", "norm_added_q", "norm_added_k"]:
+                sd[b + f"attn.{nq}.weight"] = np.ones(cfg.attention_head_dim, np.float32)
+            if i in cfg.dual_attention_layers:
+                for nm in ["to_q", "to_k", "to_v"]:
+                    lin(b + f"attn2.{nm}", dim, dim)
+                lin(b + "attn2.to_out.0", dim, dim)
+                sd[b + "attn2.norm_q.weight"] = np.ones(cfg.attention_head_dim, np.float32)
+                sd[b + "attn2.norm_k.weight"] = np.ones(cfg.attention_head_dim, np.float32)
+
+        params = convert.convert_mmdit(sd, cfg)
+        model = MMDiT(cfg)
+        out = model.apply({"params": params}, jnp.zeros((1, 16, 8, 8)),
+                          jnp.zeros((1,)), jnp.zeros((1, 6, cfg.joint_attention_dim)),
+                          jnp.zeros((1, cfg.pooled_projection_dim)))
+        assert out.shape == (1, 16, 8, 8)
+        assert np.all(np.isfinite(np.asarray(out)))
