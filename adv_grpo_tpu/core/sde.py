@@ -76,7 +76,7 @@ def cps_step_with_logprob(
     """
     v = model_output.astype(jnp.float32)
     x = sample.astype(jnp.float32)
-    nl = jnp.asarray(noise_level, dtype=jnp.float32)
+    nl = _bcast(noise_level, x.ndim)  # scalar or per-sample (B,)
 
     sig = _bcast(sigma, x.ndim)
     sig_prev = _bcast(sigma_prev, x.ndim)
@@ -130,7 +130,7 @@ def flow_sde_step_with_logprob(
     """
     v = model_output.astype(jnp.float32)
     x = sample.astype(jnp.float32)
-    nl = jnp.asarray(noise_level, dtype=jnp.float32)
+    nl = _bcast(noise_level, x.ndim)  # scalar or per-sample (B,)
 
     sig = _bcast(sigma, x.ndim)
     sig_prev = _bcast(sigma_prev, x.ndim)
@@ -159,4 +159,61 @@ def flow_sde_step_with_logprob(
     )
     log_prob = _mean_over_non_batch(log_prob)
     std_b = jnp.broadcast_to(std_dev_t, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return SDEStepResult(prev_sample, log_prob, prev_sample_mean, std_b)
+
+
+def wan_sde_step_with_logprob(
+    model_output: jax.Array,
+    sample: jax.Array,
+    sigma,
+    sigma_prev,
+    *,
+    sigma_min: float,
+    sigma_max: float,
+    noise: Optional[jax.Array] = None,
+    prev_sample: Optional[jax.Array] = None,
+    deterministic: bool = False,
+) -> SDEStepResult:
+    """WAN video Flow-SDE step over a UniPC-style sigma schedule.
+
+    Closed form (reference adv_grpo/diffusers_patch/wan_pipeline_with_logprob.py:10-84):
+        std_t = sigma_min + (sigma_max - sigma_min) * sigma   (:52)
+        mean  = x*(1 + std_t^2/(2 sigma) dt) + v*(1 + std_t^2 (1-sigma)/(2 sigma)) dt
+        x_{t-1} = mean + std_t*sqrt(-dt)*eps; deterministic -> plain Euler
+                  x + dt*v (:72-73)
+        logprob = full Gaussian, meaned over non-batch dims (:75-83)
+
+    sigma_max is the schedule's SECOND entry (sigmas[1]) and sigma_min its last,
+    per the reference (:45-46). Samples are 5-D video latents (B,C,F,H,W) but the
+    math is shape-agnostic.
+    """
+    v = model_output.astype(jnp.float32)
+    x = sample.astype(jnp.float32)
+    sig = _bcast(sigma, x.ndim)
+    sig_prev = _bcast(sigma_prev, x.ndim)
+    dt = sig_prev - sig
+
+    std_dev_t = jnp.float32(sigma_min) + (jnp.float32(sigma_max) - sigma_min) * sig
+    prev_sample_mean = x * (1.0 + std_dev_t**2 / (2.0 * sig) * dt) + v * (
+        1.0 + std_dev_t**2 * (1.0 - sig) / (2.0 * sig)
+    ) * dt
+
+    step_std = std_dev_t * jnp.sqrt(-dt)
+    if prev_sample is None:
+        if noise is None:
+            raise ValueError("wan_sde_step_with_logprob: provide noise or prev_sample")
+        prev_sample = prev_sample_mean + step_std * noise.astype(jnp.float32)
+        if deterministic:
+            prev_sample = x + dt * v
+    else:
+        prev_sample = prev_sample.astype(jnp.float32)
+
+    delta = jax.lax.stop_gradient(prev_sample) - prev_sample_mean
+    log_prob = (
+        -(delta**2) / (2.0 * step_std**2)
+        - jnp.log(step_std)
+        - jnp.float32(math.log(math.sqrt(2.0 * math.pi)))
+    )
+    log_prob = _mean_over_non_batch(log_prob)
+    std_b = jnp.broadcast_to(step_std, (x.shape[0],) + (1,) * (x.ndim - 1))
     return SDEStepResult(prev_sample, log_prob, prev_sample_mean, std_b)

@@ -125,34 +125,84 @@ def _asset_lines(name: str) -> List[str]:
         return [line.strip() for line in f if line.strip()]
 
 
-def _from_file(name: str):
+def _from_file(name: str, low=None, high=None):
     def _fn(**kwargs):
-        lines = _asset_lines(name)
+        lines = _asset_lines(name)[low:high]
         return random.choice(lines), {}
 
     return _fn
 
 
 def general_ocr(**kwargs):
-    """Prompt with a random quoted digit string to render (reference
-    prompts.py:50-56 simple_ocr semantics used by the fast presets)."""
-    templates = _asset_lines("ocr_templates.txt")
-    digits = "".join(random.choice("0123456789") for _ in range(random.randint(4, 8)))
-    return random.choice(templates).replace("{text}", f'"{digits}"'), {}
+    """Prompt with a random quoted digit string to render. The reference's
+    general_ocr reads a prompt file (prompts.py:47-48); when absent we fall
+    back to templated digit prompts so the OCR reward target parse
+    (prompt.split('"')[1]) always works."""
+    try:
+        return _from_file("general_ocr_train.txt")()
+    except FileNotFoundError:
+        templates = _asset_lines("ocr_templates.txt")
+        digits = "".join(random.choice("0123456789")
+                         for _ in range(random.randint(4, 8)))
+        return random.choice(templates).replace("{text}", f'"{digits}"'), {}
+
+
+def simple_ocr_animals(**kwargs):
+    """'A {animal} holding a sign that says "66..6"' — repeated-6 digit string
+    of random length 1-9 (reference prompts.py:50-56)."""
+    animals = _asset_lines("simple_ocr_animals.txt")
+    digits = "6" * random.randint(1, 9)
+    return f'A {random.choice(animals)} holding a sign that says "{digits}"', {}
+
+
+_NUMBER_WORDS = ["zero", "one", "two", "three", "four", "five", "six", "seven",
+                 "eight", "nine", "ten"]
+
+
+def _article(word: str) -> str:
+    return ("an " if word[0].lower() in "aeiou" else "a ") + word
+
+
+def _plural(word: str) -> str:
+    if word.endswith(("s", "x", "ch", "sh")):
+        return word + "es"
+    if word.endswith("y") and word[-2:-1] not in "aeiou":
+        return word[:-1] + "ies"
+    return word + "s"
+
+
+def nouns_activities(nouns_file: str = "simple_animals.txt",
+                     activities_file: str = "activities.txt", **kwargs):
+    """'a {noun} {activity}' (reference prompts.py:58-61)."""
+    noun = random.choice(_asset_lines(nouns_file))
+    activity = random.choice(_asset_lines(activities_file))
+    return f"{_article(noun)} {activity}", {}
 
 
 def counting(nouns_file: str = "simple_animals.txt", low: int = 2, high: int = 6,
              **kwargs):
+    """'{number-word} {plural noun}' with QA metadata for VLM verification
+    (reference prompts.py:64-80)."""
     noun = random.choice(_asset_lines(nouns_file))
-    number = random.randint(low, high)
-    return f"{number} {noun}s", {"questions": [f"How many {noun}s are there?"],
-                                 "answers": [str(number)]}
+    n = random.randint(low, high)
+    number = _NUMBER_WORDS[n] if n < len(_NUMBER_WORDS) else str(n)
+    plural = _plural(noun)
+    metadata = {
+        "questions": [f"How many {plural} are there in this image?",
+                      "What animal is in this image?"],
+        "answers": [number, noun],
+    }
+    return f"{number} {plural}", metadata
 
 
 PROMPT_FNS: dict = {
+    "imagenet_all": _from_file("imagenet_classes.txt"),
+    "imagenet_animals": _from_file("imagenet_classes.txt", 0, 398),
+    "imagenet_dogs": _from_file("imagenet_classes.txt", 151, 269),
     "simple_animals": _from_file("simple_animals.txt"),
-    "imagenet_animals": _from_file("simple_animals.txt"),
     "general_ocr": general_ocr,
+    "simple_ocr_animals": simple_ocr_animals,
+    "nouns_activities": nouns_activities,
     "counting": counting,
 }
 

@@ -100,19 +100,37 @@ def sincos_timestep_embedding(t, dim: int, max_period: float = 10000.0):
 
 def make_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
     """Fixed 2D sin-cos positional table over a (grid_size, grid_size) grid."""
+    g = np.arange(grid_size, dtype=np.float64)
+    return _sincos_table(embed_dim, g, g).reshape(grid_size * grid_size, embed_dim)
+
+
+def _sincos_table(embed_dim: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """(len(rows), len(cols), embed_dim) sincos table for given grid coords."""
     def _1d(dim, pos):
         omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
         omega = 1.0 / 10000**omega
         out = np.einsum("m,d->md", pos.reshape(-1), omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    grid_h = np.arange(grid_size, dtype=np.float64)
-    grid_w = np.arange(grid_size, dtype=np.float64)
-    grid = np.meshgrid(grid_w, grid_h)  # w varies fastest
-    grid = np.stack(grid, axis=0).reshape(2, -1)
-    emb_h = _1d(embed_dim // 2, grid[1])
-    emb_w = _1d(embed_dim // 2, grid[0])
-    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+    hh, ww = np.meshgrid(rows, cols, indexing="ij")
+    # diffusers get_2d_sincos_pos_embed concatenates [sincos(col), sincos(row)]
+    # (its grid[0] is the column mesh) — order matters for weight parity since
+    # the table is deterministic, not loaded.
+    emb_c = _1d(embed_dim // 2, ww)
+    emb_r = _1d(embed_dim // 2, hh)
+    out = np.concatenate([emb_c, emb_r], axis=1).astype(np.float32)
+    return out.reshape(len(rows), len(cols), embed_dim)
+
+
+def cropped_pos_embed(embed_dim: int, max_size: int, gh: int, gw: int) -> np.ndarray:
+    """Centre-cropped fixed table (diffusers PatchEmbed cropped_pos_embed
+    semantics) computed only over the needed (gh, gw) window — avoids
+    materialising the full max_size^2 table (906 MB at SD3.5-M scale)."""
+    top = (max_size - gh) // 2
+    left = (max_size - gw) // 2
+    rows = np.arange(top, top + gh, dtype=np.float64)
+    cols = np.arange(left, left + gw, dtype=np.float64)
+    return _sincos_table(embed_dim, rows, cols).reshape(1, gh * gw, embed_dim)
 
 
 class RMSNorm(nn.Module):
@@ -319,16 +337,9 @@ class MMDiT(nn.Module):
         x = x.transpose(0, 2, 4, 3, 5, 1).reshape(B, gh * gw, p * p * C)
         x = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="pos_embed_proj")(x)
 
-        # centre-cropped fixed sincos position table (diffusers PatchEmbed semantics)
-        pos_table = self.variable(
-            "pos_embed", "table",
-            lambda: jnp.asarray(
-                make_2d_sincos_pos_embed(dim, c.pos_embed_max_size)
-            ).reshape(c.pos_embed_max_size, c.pos_embed_max_size, dim),
-        ).value
-        top = (c.pos_embed_max_size - gh) // 2
-        left = (c.pos_embed_max_size - gw) // 2
-        pos = pos_table[top:top + gh, left:left + gw].reshape(1, gh * gw, dim)
+        # centre-cropped fixed sincos position table (diffusers PatchEmbed
+        # semantics); a trace-time constant — gh/gw are static under jit
+        pos = jnp.asarray(cropped_pos_embed(dim, c.pos_embed_max_size, gh, gw))
         x = x + pos.astype(c.dtype)
 
         # conditioning vector: timestep + pooled text

@@ -119,7 +119,7 @@ class VisionTransformer(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, pixel_values):
+    def __call__(self, pixel_values, capture_layers=()):
         c = self.cfg
         x = pixel_values.transpose(0, 2, 3, 1).astype(c.dtype)  # NHWC
         B = x.shape[0]
@@ -144,12 +144,20 @@ class VisionTransformer(nn.Module):
         if c.use_pre_ln:
             x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype,
                              param_dtype=jnp.float32, name="pre_layernorm")(x)
+        captured = {}
         for i in range(c.num_layers):
             x = ViTBlock(c, name=f"layer_{i}")(x)
+            if i in capture_layers:
+                # raw block output, pre final norm (the timm forward-hook view
+                # the reference's multi-layer DINO reward taps,
+                # rewards.py:437-461)
+                captured[i] = x
         tokens = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype,
                               param_dtype=jnp.float32, name="post_layernorm")(x)
         cls = tokens[:, 0]
         out = {"tokens": tokens, "cls": cls}
+        if captured:
+            out["layer_tokens"] = captured
         if c.projection_dim is not None:
             out["pooled"] = nn.Dense(c.projection_dim, use_bias=False, dtype=c.dtype,
                                      param_dtype=jnp.float32,

@@ -36,6 +36,11 @@ class RewardContext:
     dino: Optional[Any] = None  # DINOScorer
     dino_backbone_params: Optional[Any] = None
     dino_head_params: Optional[Any] = None  # live co-trained head
+    dino_multi: Optional[Any] = None  # DINOMultiScorer
+    dino_multi_params: Optional[Any] = None
+    siglip: Optional[Any] = None  # SigLIPScorer
+    siglip_backbone_params: Optional[Any] = None
+    siglip_head_params: Optional[Any] = None
     tokenize: Optional[Callable[[List[str]], np.ndarray]] = None  # CLIP 77-tok
     ocr: Optional[Any] = None  # OcrScorer
     remote: Dict[str, Callable] = dataclasses.field(default_factory=dict)
@@ -71,7 +76,7 @@ def multi_score(score_dict: Dict[str, float], ctx: RewardContext):
         if name == "aesthetic":
             s = _require(ctx.aesthetic, name, "aesthetic scorer")
             return np.asarray(s.score(ctx.aesthetic_params, images))
-        if name == "image_similarity":
+        if name in ("image_similarity", "image_similarity_eval"):
             s = _require(ctx.dino, name, "dino scorer")
             refs = _require(ref_images, name, "ref_images")
             return np.asarray(s.similarity_to_refs(ctx.dino_backbone_params,
@@ -85,12 +90,47 @@ def multi_score(score_dict: Dict[str, float], ctx: RewardContext):
             key = _require(ctx.rng, name, "rng key")
             return np.asarray(s.patch_cotrain_score(
                 ctx.dino_backbone_params, ctx.dino_head_params, images, key))
+        if name == "dino_multi_cotrain":
+            s = _require(ctx.dino_multi, name, "dino_multi scorer")
+            return np.asarray(s.score(ctx.dino_backbone_params,
+                                      ctx.dino_multi_params, images))
+        if name == "pickscore_patch":
+            from adv_grpo_tpu.rewards.scorers import pickscore_patch_score
+
+            s = _require(ctx.pickscore, name, "pickscore scorer")
+            ids = _require(ctx.tokenize, name, "tokenize")(prompts)
+            return np.asarray(pickscore_patch_score(
+                s, ctx.pickscore_params, images, jnp.asarray(ids)))
+        if name == "constractive_external":
+            from adv_grpo_tpu.rewards.scorers import contrastive_external_reward
+
+            s = _require(ctx.pickscore, name, "pickscore scorer")
+            refs = _require(ref_images, name, "ref_images")
+            refs = refs.reshape((-1,) + refs.shape[-3:]) if refs.ndim == 5 else refs
+            ids = _require(ctx.tokenize, name, "tokenize")(prompts)
+            scores, _ = contrastive_external_reward(
+                s, ctx.pickscore_params, images, refs, jnp.asarray(ids))
+            return np.asarray(scores)
+        if name == "siglip_image_similarity":
+            s = _require(ctx.siglip, name, "siglip scorer")
+            refs = _require(ref_images, name, "ref_images")
+            refs = refs.reshape((-1,) + refs.shape[-3:]) if refs.ndim == 5 else refs
+            return np.asarray(s.similarity_to_refs(
+                ctx.siglip_backbone_params, images, refs))
+        if name == "siglip_cotrain":
+            s = _require(ctx.siglip, name, "siglip scorer")
+            return np.asarray(s.cotrain_score(
+                ctx.siglip_backbone_params, ctx.siglip_head_params, images))
         raise KeyError(name)
 
     DEVICE = {"pickscore", "pickscore_cotrain", "clipscore", "aesthetic",
-              "image_similarity", "dino_cotrain", "dino_patch_cotrain"}
-    HOST = {"jpeg_compressibility", "jpeg_incompressibility", "ocr"}
-    REMOTE = {"geneval", "deqa", "unifiedreward", "qwenvl", "imagereward"}
+              "image_similarity", "image_similarity_eval", "dino_cotrain",
+              "dino_patch_cotrain", "dino_multi_cotrain", "pickscore_patch",
+              "constractive_external", "siglip_image_similarity",
+              "siglip_cotrain"}
+    HOST = {"jpeg_compressibility", "jpeg_incompressibility", "ocr", "video_ocr"}
+    REMOTE = {"geneval", "deqa", "unifiedreward", "qwenvl", "imagereward",
+              "discriminator"}
 
     for name in score_dict:
         if name not in DEVICE | HOST | REMOTE:
@@ -120,7 +160,7 @@ def multi_score(score_dict: Dict[str, float], ctx: RewardContext):
             elif name == "jpeg_incompressibility":
                 from adv_grpo_tpu.rewards.host import jpeg_incompressibility
                 scores = jpeg_incompressibility(u8())
-            elif name == "ocr":
+            elif name in ("ocr", "video_ocr"):
                 scorer = _require(ctx.ocr, name, "ocr scorer")
                 scores = scorer(u8(), prompts)
             else:  # remote judges

@@ -215,3 +215,152 @@ class DINOScorer:
         cls_logit = self.head.apply({"params": head_params}, cls)
         patch_logit = self.head.apply({"params": head_params}, sel)
         return cls_weight * cls_logit + patch_weight * jnp.mean(patch_logit, axis=1)
+
+
+class SigLIPScorer:
+    """SigLIP vision-tower scorers.
+
+    * image_similarity (reference rewards.py:69-143): cosine(pooled(img),
+      pooled(ref)).max over a shared reference pool, 0.5/0.5 preprocessing.
+    * cotrain (reference :299-372): trainable head on the frozen pooled
+      embedding scoring real-vs-fake (the reference adds a tiny color jitter
+      during its D-step; deterministic scoring path here — jitter belongs to
+      the D-step's data augmentation, not the reward).
+    """
+
+    def __init__(self, vision_cfg=None, image_size=None, head_hidden=512):
+        from adv_grpo_tpu.models.siglip import SigLIPVisionConfig, SigLIPVisionTower
+        import flax.linen as nn
+
+        self.vision_cfg = vision_cfg or SigLIPVisionConfig.so400m()
+        self.vision = SigLIPVisionTower(self.vision_cfg)
+        self.image_size = image_size or self.vision_cfg.image_size
+
+        class Head(nn.Module):
+            hidden: int
+
+            @nn.compact
+            def __call__(self, x):
+                h = nn.Dense(self.hidden, param_dtype=jnp.float32, name="fc1")(x)
+                h = nn.gelu(h, approximate=False)
+                return nn.Dense(1, param_dtype=jnp.float32, name="fc2")(h).squeeze(-1)
+
+        self.head = Head(head_hidden)
+
+    def init_backbone(self, key):
+        img = jnp.zeros((1, 3, self.image_size, self.image_size))
+        return self.vision.init(key, img)["params"]
+
+    def init_head(self, key):
+        return self.head.init(key, jnp.zeros((1, self.vision_cfg.hidden_size)))["params"]
+
+    def pooled(self, backbone_params, images):
+        from adv_grpo_tpu.rewards.preprocess import preprocess, SIGLIP_MEAN, SIGLIP_STD
+
+        pix = preprocess(images, self.image_size, SIGLIP_MEAN, SIGLIP_STD)
+        out = self.vision.apply({"params": backbone_params}, pix)
+        return jax.lax.stop_gradient(out["pooled"])
+
+    def similarity_to_refs(self, backbone_params, images, ref_images):
+        """cosine to a SHARED reference pool, max over refs (reference :133-139
+        computes an [N, M] matrix against all refs). ref_images: (M, 3, H, W)."""
+        emb = _l2norm(self.pooled(backbone_params, images))
+        ref = _l2norm(self.pooled(backbone_params, ref_images))
+        return jnp.max(emb @ ref.T, axis=1)
+
+    def cotrain_score(self, backbone_params, head_params, images):
+        return self.head.apply({"params": head_params},
+                               self.pooled(backbone_params, images))
+
+
+def pickscore_patch_score(scorer: "PickScoreScorer", params, images, input_ids):
+    """Per-patch PickScore: project ALL vision tokens through the visual
+    projection, average text-patch cosine, * logit_scale / 26
+    (reference adv_grpo/pickscore_scorer_patch.py:42-60)."""
+    pix = scorer.preprocess(images)
+    out = scorer.clip.vision_model.apply({"params": params["vision"]}, pix)
+    proj = params["vision"]["visual_projection"]["kernel"]
+    patch_emb = out["tokens"] @ proj  # (B, 1+N, proj_dim)
+    patch_emb = _l2norm(patch_emb)
+    txt = _l2norm(scorer.clip.text_features(params, input_ids))
+    patch_scores = jnp.einsum("bd,bnd->bn", txt, patch_emb)
+    return jnp.exp(params["logit_scale"]) * jnp.mean(patch_scores, axis=1) / 26.0
+
+
+def contrastive_external_reward(scorer: "PickScoreScorer", params, images,
+                                ref_images, input_ids, ref_input_ids=None,
+                                beta: float = 0.5, top_n: int = 2):
+    """Reward-hacking correction by contrastive embedding shift
+    (reference adv_grpo/rewards.py:709-758): if the external (reference-image)
+    mean score doesn't dominate the top generated scores, push scores toward
+    the external anchor and away from the suspected-hack embeddings:
+        adjusted = score + beta * (cos(img, anchor) - mean_j cos(img, hack_j))
+    """
+    img_emb, txt = scorer.features(params, images, input_ids)
+    ref_ids = input_ids if ref_input_ids is None else ref_input_ids
+    ref_emb, ref_txt = scorer.features(params, ref_images, ref_ids)
+    logit_scale = jnp.exp(params["logit_scale"])
+    scores = logit_scale * jnp.sum(txt * img_emb, axis=-1) / 26.0
+    ref_scores = logit_scale * jnp.sum(ref_txt * ref_emb, axis=-1) / 26.0
+
+    anchor = _l2norm(jnp.mean(ref_emb, axis=0, keepdims=True))
+    ext_score = jnp.mean(ref_scores)
+    k = min(top_n, scores.shape[0])
+    top_idx = jax.lax.top_k(scores, k)[1]
+    hack_embeds = img_emb[top_idx]  # (k, D)
+    hack_max = jnp.max(scores[top_idx])
+
+    sim_to_ext = jnp.sum(img_emb * anchor, axis=-1)
+    sim_to_hack = jnp.mean(img_emb @ hack_embeds.T, axis=1)
+    adjusted = scores + beta * (sim_to_ext - sim_to_hack)
+    # gate: no correction when the external anchor already dominates (:737-738)
+    out = jnp.where(ext_score >= hack_max, scores, adjusted)
+    return out, {"raw_scores": scores, "ref_scores": ref_scores}
+
+
+class DINOMultiScorer:
+    """Multi-layer DINO discriminator reward: per-layer heads on intermediate
+    block outputs, top-k patch-logit pooling, linear fusion, sigmoid calibration
+    (reference adv_grpo/rewards.py:437-559 dino_multi_cotrain_score)."""
+
+    def __init__(self, dino: "DINOScorer", layer_ids=(8,), head_hidden=512):
+        import flax.linen as nn
+
+        self.dino = dino
+        self.layer_ids = tuple(layer_ids)
+
+        class Fusion(nn.Module):
+            @nn.compact
+            def __call__(self, x):  # (B, T) -> (B,)
+                return nn.Dense(1, param_dtype=jnp.float32,
+                                name="fuse")(x).squeeze(-1)
+
+        self.fusion = Fusion()
+
+    def init_heads(self, key):
+        keys = jax.random.split(key, len(self.layer_ids) + 1)
+        heads = [self.dino.head.init(
+            k, jnp.zeros((1, self.dino.vision_cfg.hidden_size)))["params"]
+            for k in keys[:-1]]
+        fusion = self.fusion.init(
+            keys[-1], jnp.zeros((1, len(self.layer_ids))))["params"]
+        return {"heads": heads, "fusion": fusion}
+
+    def score(self, backbone_params, multi_params, images, *, topk_tau=0.2,
+              temperature=0.2, apply_sigmoid=True):
+        pix = self.dino.preprocess(images)
+        out = self.dino.vision.apply({"params": backbone_params}, pix,
+                                     capture_layers=self.layer_ids)
+        per_layer = []
+        for head_params, lid in zip(multi_params["heads"], self.layer_ids):
+            tokens = jax.lax.stop_gradient(out["layer_tokens"][lid])
+            patch = tokens[:, 1:]
+            logits = self.dino.head.apply({"params": head_params}, patch)  # (B, N)
+            k = max(1, int(patch.shape[1] * topk_tau))
+            pooled = jnp.mean(jax.lax.top_k(logits, k)[0], axis=1)
+            per_layer.append(pooled)
+        stacked = jnp.stack(per_layer, axis=1)  # (B, T)
+        logits = self.fusion.apply({"params": multi_params["fusion"]}, stacked)
+        if apply_sigmoid:
+            return jax.nn.sigmoid(logits / temperature)
+        return logits

@@ -1,0 +1,107 @@
+"""Host-side VLM judge rewards: Qwen2.5-VL aesthetic rubric + ImageReward.
+
+These run on host (or a separate serving job) like the reference
+(adv_grpo/qwenvl.py, adv_grpo/imagereward_scorer.py) — they are autoregressive
+VLMs, not batched TPU scorers. Model loading is gated: environments without the
+checkpoints get a clear error, and the score-extraction logic (the part that
+defines reward semantics) is importable and unit-tested standalone.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+import numpy as np
+
+# The grading rubric prompt (reference adv_grpo/qwenvl.py:40-58 semantics:
+# 5-point aesthetic/quality scale, answer wrapped in <Score></Score>).
+QWENVL_RUBRIC = (
+    "You are an expert image critic. Rate the overall quality of this image "
+    "for the prompt \"{prompt}\" on a scale of 1 to 5, considering fidelity, "
+    "aesthetics, and prompt alignment. Respond with the score wrapped as "
+    "<Score>X</Score>."
+)
+
+
+def extract_qwenvl_score(text: str, scale: float = 5.0) -> float:
+    """<Score>X</Score> regex, normalised to [0, 1] (reference qwenvl.py:16-24,
+    :91-98); malformed output -> 0."""
+    m = re.search(r"<Score>\s*([0-9]+(?:\.[0-9]+)?)\s*</Score>", text)
+    if not m:
+        return 0.0
+    return min(max(float(m.group(1)), 0.0) / scale, 1.0)
+
+
+class QwenVLScorer:
+    """Batched Qwen2.5-VL judge. Requires a local checkpoint dir."""
+
+    def __init__(self, model_dir: Optional[str] = None, generate_fn=None):
+        self.generate_fn = generate_fn
+        if generate_fn is None:
+            if not model_dir:
+                raise RuntimeError(
+                    "QwenVLScorer needs model_dir (local Qwen2.5-VL checkpoint) "
+                    "or an injected generate_fn(images_u8, prompts) -> List[str]")
+            self.generate_fn = self._make_hf_generate(model_dir)
+
+    @staticmethod
+    def _make_hf_generate(model_dir: str):  # pragma: no cover - needs weights
+        import transformers
+
+        processor = transformers.AutoProcessor.from_pretrained(model_dir)
+        model = transformers.AutoModelForVision2Seq.from_pretrained(model_dir)
+
+        def generate(images_u8, prompts):
+            from PIL import Image
+
+            texts = []
+            for arr, prompt in zip(images_u8, prompts):
+                messages = [{"role": "user", "content": [
+                    {"type": "image"},
+                    {"type": "text", "text": QWENVL_RUBRIC.format(prompt=prompt)},
+                ]}]
+                chat = processor.apply_chat_template(messages,
+                                                     add_generation_prompt=True)
+                inputs = processor(text=[chat], images=[Image.fromarray(arr)],
+                                   return_tensors="pt")
+                out = model.generate(**inputs, max_new_tokens=64)
+                texts.append(processor.batch_decode(out)[0])
+            return texts
+
+        return generate
+
+    def __call__(self, images_u8, prompts: List[str]) -> np.ndarray:
+        texts = self.generate_fn(images_u8, prompts)
+        return np.asarray([extract_qwenvl_score(t) for t in texts], np.float64)
+
+
+class ImageRewardScorer:
+    """BLIP-based ImageReward (reference adv_grpo/imagereward_scorer.py:12-21
+    wraps the pip package's inference_rank). Gated on the package/weights."""
+
+    def __init__(self, model_path: Optional[str] = None, score_fn=None):
+        self.score_fn = score_fn
+        if score_fn is None:  # pragma: no cover - needs package+weights
+            try:
+                import ImageReward as RM
+            except ImportError as e:
+                raise RuntimeError(
+                    "ImageRewardScorer needs the ImageReward package or an "
+                    "injected score_fn(prompt, pil_images) -> scores") from e
+            model = RM.load(model_path or "ImageReward-v1.0")
+
+            def score_fn(prompt, pil_images):
+                _, scores = model.inference_rank(prompt, pil_images)
+                return scores
+
+            self.score_fn = score_fn
+
+    def __call__(self, images_u8, prompts: List[str]) -> np.ndarray:
+        from PIL import Image
+
+        out = []
+        for arr, prompt in zip(images_u8, prompts):
+            scores = self.score_fn(prompt, [Image.fromarray(arr)])
+            out.append(float(np.atleast_1d(scores)[0]))
+        return np.asarray(out, np.float64)

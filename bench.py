@@ -1,0 +1,86 @@
+"""Headline benchmark: SD3.5-M rollout throughput (images/sec/chip).
+
+Runs the flagship workload shape from BASELINE.md on the local accelerator:
+SD3.5-Medium-sized MMDiT (random-init bf16 — throughput is weight-independent),
+512x512 (64x64x16 latents, ~1229 joint tokens), CFG batch 2x8, measuring the
+per-step denoise forward and deriving the canonical 10-step rollout rate.
+
+Prints ONE JSON line:
+  {"metric": "rollout_images_per_sec_per_chip", "value": ..., "unit":
+   "img/s/chip", "vs_baseline": ...}
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md); the
+denominator is a compute-model estimate of the reference's per-H100 rollout
+rate for the identical workload — 20 CFG MMDiT forwards/image x ~5.7 TFLOP
+each at 40% MFU on 990-TFLOP H100 bf16 => ~3.5 img/s/GPU. Values > 1.0 beat
+the modeled reference per-chip rate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_IMG_PER_SEC_PER_CHIP = 3.5  # modeled H100 reference rate (see above)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from adv_grpo_tpu.models.mmdit import MMDiT, MMDiTConfig
+    from adv_grpo_tpu.rollout.sampler import SamplerConfig
+
+    batch = 8  # mini_num_image_per_prompt (BASELINE.md group layout)
+    latent_hw = 64
+    num_steps = 10
+    cfg = MMDiTConfig.sd35_medium(remat=False)
+    model = MMDiT(cfg)
+    key = jax.random.PRNGKey(0)
+
+    lat = jnp.zeros((2 * batch, cfg.in_channels, latent_hw, latent_hw), jnp.bfloat16)
+    t = jnp.zeros((2 * batch,))
+    ctx = jnp.zeros((2 * batch, 154, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jnp.zeros((2 * batch, cfg.pooled_projection_dim), jnp.bfloat16)
+    # shape-only init (throughput is weight-independent; avoids compiling the
+    # whole model once just to draw random params). Frozen weights in bf16 —
+    # the production setting (halves HBM + bandwidth).
+    shapes = jax.eval_shape(model.init, key, lat, t, ctx, pooled)
+
+    @jax.jit  # one trivial executable: materialise all params at once
+    def make_params():
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32
+                                else s.dtype), shapes)
+
+    variables = make_params()
+
+    iters = 8
+
+    @jax.jit
+    def run(x, ctx, pooled):
+        # chain `iters` CFG denoise forwards on-device (per-call tunnel latency
+        # would otherwise dominate; see .claude/skills/verify gotchas)
+        def body(c, i):
+            v = model.apply(variables, c, jnp.full((2 * batch,), 500.0), ctx, pooled)
+            return (c - 0.05 * v).astype(c.dtype), None
+
+        return jax.lax.scan(body, x, jnp.arange(iters))[0]
+
+    x = jax.random.normal(key, lat.shape, jnp.bfloat16)
+    jax.block_until_ready(run(x, ctx, pooled))  # compile + warmup
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(x, ctx, pooled))
+    dt_step = (time.perf_counter() - t0) / iters  # one CFG denoise step, batch 8
+
+    imgs_per_sec = batch / (num_steps * dt_step)
+    print(json.dumps({
+        "metric": "rollout_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 4),
+        "unit": "img/s/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

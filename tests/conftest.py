@@ -6,8 +6,18 @@ exercised on a host-platform mesh, per the TPU-less CI strategy in SURVEY.md §4
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the build VM exports JAX_PLATFORMS=axon globally AND its
+# sitecustomize imports jax at interpreter startup, so the env default is
+# already baked into jax.config by the time conftest runs — update both.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert all(d.platform == "cpu" for d in jax.devices()), (
+    "tests must run on the virtual CPU mesh, got: " + str(jax.devices()))
+assert len(jax.devices()) == 8, jax.devices()

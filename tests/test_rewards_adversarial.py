@@ -70,7 +70,7 @@ class TestCLIPCriterion:
 
         f = shard_map(sharded, mesh=mesh,
                       in_specs=(P("d"), P("d"), P("d"), P("d"), P("d")),
-                      out_specs=P())
+                      out_specs=P(), check_rep=False)
         dist = f(*map(jnp.asarray, (t, i0, i1, l0, l1)))
         np.testing.assert_allclose(float(dist), float(local), rtol=1e-5)
 
@@ -151,8 +151,8 @@ class TestPreprocess:
 
 class TestRegistry:
     def _tiny_ctx(self):
-        ps = PickScoreScorer(CLIPTextConfig.tiny(),
-                             ViTConfig.tiny(), image_size=28)
+        ps = PickScoreScorer(CLIPTextConfig.tiny(projection_dim=16),
+                             ViTConfig.tiny(projection_dim=16), image_size=28)
         params = ps.init_params(jax.random.PRNGKey(0))
         tokenize = lambda prompts: np.full((len(prompts), 16), 3, np.int32)
         return RewardContext(pickscore=ps, pickscore_params=params,

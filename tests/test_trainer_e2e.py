@@ -1,0 +1,181 @@
+"""End-to-end trainer tests on the 8-device virtual mesh: epoch control flow,
+D-gates, state stepping, checkpoint round-trip (SURVEY.md §4 gather->advantage
+flow + §3.1 control-flow parity)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import ml_collections
+
+from adv_grpo_tpu.config import grpo as grpo_config
+from adv_grpo_tpu.models.mmdit import MMDiTConfig
+from adv_grpo_tpu.models.vae import VAEConfig
+from adv_grpo_tpu.train.pipeline import SD3Pipeline
+from adv_grpo_tpu.train.driver import DiscriminatorBundle, GRPOTrainer
+from adv_grpo_tpu.cli.common import make_hash_text_encoder
+
+
+class _ToyDataset:
+    def __init__(self, n=16):
+        self.prompts = [f"prompt {i}" for i in range(n)]
+
+    def __len__(self):
+        return len(self.prompts)
+
+    def __getitem__(self, i):
+        return {"prompt": self.prompts[i], "metadata": {}}
+
+
+def brightness_reward(images, prompts, metadata=None, ref_images=None,
+                      only_strict=True):
+    scores = np.asarray(jnp.mean(images.astype(jnp.float32), axis=(1, 2, 3)))
+    noise = np.array([abs(hash(p)) % 7 / 70.0 for p in prompts])
+    avg = scores + noise
+    return {"brightness": avg, "avg": avg}, {}
+
+
+def tiny_config(**overrides):
+    cfg = grpo_config.pickscore_cotrain_sd3_fast(replica_count=8)
+    cfg.sample.num_steps = 3
+    cfg.sample.train_num_steps = 2
+    cfg.sample.mini_num_image_per_prompt = 2
+    cfg.sample.num_image_per_prompt = 4  # k = 2 replicas per prompt group
+    cfg.sample.num_batches_per_epoch = 2
+    cfg.train.gradient_accumulation_steps = 1
+    cfg.train.batch_size = 2
+    cfg.train_d = False
+    cfg.save_dir = ""
+    cfg.wandb_init = False
+    cfg.json_path = ""
+    for k, v in overrides.items():
+        cfg[k] = v
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    mcfg = MMDiTConfig.tiny(num_layers=2, dual_attention_layers=(0,),
+                            lora_rank=4, lora_alpha=8.0)
+    vcfg = VAEConfig.tiny(latent_channels=16)
+    return SD3Pipeline.random_init(jax.random.PRNGKey(0), mcfg, vcfg,
+                                   latent_hw=8, text_seq_len=6)
+
+
+def make_trainer(tiny_pipeline, cfg, **kw):
+    encode = make_hash_text_encoder(
+        6, tiny_pipeline.mmdit_cfg.joint_attention_dim,
+        tiny_pipeline.mmdit_cfg.pooled_projection_dim)
+    return GRPOTrainer(cfg, tiny_pipeline, _ToyDataset(), encode,
+                       brightness_reward, latent_hw=8, **kw)
+
+
+class TestTrainerE2E:
+    def test_two_epochs_update_policy(self, tiny_pipeline):
+        trainer = make_trainer(tiny_pipeline, tiny_config())
+        lora_before = jax.tree_util.tree_map(np.asarray, trainer.state.lora)
+        trainer.run(max_epochs=2)
+        assert trainer.epoch == 2
+        assert int(trainer.state.micro_step) == 2 * 2 * 2  # epochs*minibatches*T
+        assert int(trainer.state.global_step) >= 1
+        delta = max(float(np.max(np.abs(np.asarray(b) - lora_before[k])))
+                    for k, b in trainer.state.lora.items())
+        assert delta > 0
+
+    def test_metrics_written(self, tiny_pipeline, tmp_path):
+        cfg = tiny_config()
+        cfg.save_dir = str(tmp_path)
+        trainer = make_trainer(tiny_pipeline, cfg)
+        trainer.run(max_epochs=1)
+        lines = open(os.path.join(tmp_path, "metrics.jsonl")).read().strip().split("\n")
+        import json
+
+        rec = json.loads(lines[-1])
+        for key in ("reward_avg", "loss", "approx_kl", "clipfrac", "zero_std_ratio",
+                    "group_size", "time/rollout", "time/train"):
+            assert key in rec, key
+
+    def test_checkpoint_roundtrip(self, tiny_pipeline, tmp_path):
+        cfg = tiny_config()
+        cfg.save_dir = str(tmp_path)
+        trainer = make_trainer(tiny_pipeline, cfg)
+        trainer.run(max_epochs=1)
+        path = trainer.save()
+        from adv_grpo_tpu.train import checkpoint as ckpt_lib
+
+        # perturb then restore
+        st = trainer.state
+        st2 = st.replace(lora={k: v * 0 for k, v in st.lora.items()})
+        restored = ckpt_lib.restore_state(path, st2)
+        for k in st.lora:
+            np.testing.assert_allclose(np.asarray(restored.lora[k]),
+                                       np.asarray(st.lora[k]))
+        assert int(restored.global_step) == int(st.global_step)
+        # reference-layout lora dir exists
+        assert os.path.isdir(os.path.join(
+            path, "lora")) or os.path.isdir(os.path.join(
+                str(tmp_path), "checkpoints",
+                f"checkpoint-{int(st.global_step)}", "lora"))
+
+    def test_dino_periodic_gate(self, tiny_pipeline):
+        cfg = tiny_config()
+        cfg.train_d = True
+        cfg.discriminator = "dino_patch"
+        cfg.d_times = 3
+        calls = []
+
+        class FakeDisc(DiscriminatorBundle):
+            pass
+
+        def fake_step(*a, **k):
+            calls.append(1)
+            return a[0], a[1], jnp.float32(0.5), jnp.float32(0.9)
+
+        disc = FakeDisc(kind="dino_patch", step_fn=fake_step, opt_state=None,
+                        params={}, backbone_params={})
+
+        class FakeRefStore:
+            def get_batch(self, prompts, rng=None):
+                return np.zeros((len(prompts), 1, 3, 16, 16), np.float32)
+
+        trainer = make_trainer(tiny_pipeline, cfg, discriminator=disc,
+                               reference_store=FakeRefStore())
+        trainer.run(max_epochs=3)
+        # epochs 0,1: (e+1)%3 != 0 -> D; epoch 2: (e+1)%3==0 -> G
+        assert len(calls) == 2
+        assert int(trainer.state.micro_step) == 4  # only one G epoch ran
+
+    def test_pickscore_adaptive_gate(self, tiny_pipeline):
+        cfg = tiny_config()
+        cfg.train_d = True
+        cfg.discriminator = "pickscore"
+        calls = []
+
+        def fake_step(params, opt, real, fake, ids):
+            calls.append(1)
+            return params, opt, jnp.float32(0.1)
+
+        disc = DiscriminatorBundle(kind="pickscore", step_fn=fake_step,
+                                   opt_state=None, params={},
+                                   tokenize=lambda ps: np.zeros((len(ps), 4), np.int32))
+
+        class BrightRefStore:  # refs brighter than generated -> ref reward higher
+            def get_batch(self, prompts, rng=None):
+                return np.full((len(prompts), 1, 3, 16, 16), 5.0, np.float32)
+
+        class DarkRefStore:
+            def get_batch(self, prompts, rng=None):
+                return np.full((len(prompts), 1, 3, 16, 16), -5.0, np.float32)
+
+        t1 = make_trainer(tiny_pipeline, cfg, discriminator=disc,
+                          reference_store=BrightRefStore())
+        t1.run(max_epochs=1)
+        assert len(calls) == 0  # ref reward > gen reward -> G epoch
+
+        t2 = make_trainer(tiny_pipeline, cfg, discriminator=disc,
+                          reference_store=DarkRefStore())
+        t2.run(max_epochs=1)
+        assert len(calls) == 1  # ref reward < gen reward -> D epoch, G skipped
+        assert int(t2.state.micro_step) == 0
