@@ -15,14 +15,21 @@ import numpy as np
 
 
 def resolve_config(spec: str):
-    """'module_path:preset' or bare preset name -> ConfigDict."""
+    """'module_path:preset' or bare preset name -> ConfigDict (searches the
+    grpo, sft, and dpo preset registries, like the reference's
+    --config config/{grpo,sft,dpo}.py:name)."""
     if ":" in spec:
         _, preset = spec.rsplit(":", 1)
     else:
         preset = spec
-    from adv_grpo_tpu.config import grpo
+    from adv_grpo_tpu.config import dpo, grpo, sft
 
-    return grpo.get_config(preset)
+    for mod in (grpo, sft, dpo):
+        try:
+            return mod.get_config(preset)
+        except KeyError:
+            continue
+    raise KeyError(f"unknown config preset: {preset!r}")
 
 
 def build_pipeline(config, latent_hw: Optional[int] = None):

@@ -58,6 +58,9 @@ def attention_reference(q, k, v, *, sm_scale, kv_len=None):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
                 *, sm_scale, kv_len, block_kv, num_kv_blocks):
+    # lse_ref is None on the inference path (no residuals to save): the
+    # (B, H, S, 128) f32 logsumexp write is pure HBM traffic the rollout
+    # doesn't need.
     kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -95,10 +98,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l_fin = l_scr[:, :1]
         l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-37))
+        if lse_ref is not None:
+            lse_ref[0, 0] = m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-37))
 
 
-def _flash_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret):
+def _flash_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret,
+               save_residuals=True):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     bq = _pick_block(sq, block_q)
@@ -108,7 +113,20 @@ def _flash_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret):
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, kv_len=kv_len, block_kv=bkv, num_kv_blocks=nkv
     )
-    o, lse = pl.pallas_call(
+    if not save_residuals:
+        kernel = functools.partial(
+            lambda q_, k_, v_, o_, m, l, a, kern=None: kern(q_, k_, v_, o_, None, m, l, a),
+            kern=kernel,
+        )
+    out_specs = [pl.BlockSpec((1, 1, bq, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)]
+    if save_residuals:
+        out_specs.append(pl.BlockSpec((1, 1, bq, 128),
+                                      lambda b_, h_, qi, ki: (b_, h_, qi, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, sq, 128), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -116,14 +134,8 @@ def _flash_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret):
             pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 128), lambda b_, h_, qi, ki: (b_, h_, qi, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -134,7 +146,9 @@ def _flash_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret):
         ),
         interpret=interpret,
     )(q, k, v)
-    return o, lse
+    if save_residuals:
+        return outs[0], outs[1]
+    return outs[0], None
 
 
 # ───────────────────────────── backward kernels ─────────────────────────────
@@ -278,7 +292,9 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv, interpr
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_mha(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret):
-    o, _ = _flash_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret)
+    # primal-only path (rollout/inference): no residual write
+    o, _ = _flash_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret,
+                      save_residuals=False)
     return o
 
 

@@ -62,6 +62,11 @@ class GRPOTrainer:
                  discriminator: Optional[DiscriminatorBundle] = None,
                  mesh=None, latent_hw: int = 64, logger: Optional[MetricLogger] = None):
         self.config = config
+        if bool(config.tpu.debug_nans):
+            # TPU analogue of the reference's global
+            # torch.autograd.set_detect_anomaly(True) sanitizer
+            # (train_sd3_fast_pickscore.py:42) — with the same perf caveat.
+            jax.config.update("jax_debug_nans", True)
         self.pipeline = pipeline
         self.dataset = dataset
         self.text_encode_fn = text_encode_fn  # List[str] -> (embeds, pooled) np/jnp

@@ -50,17 +50,19 @@ def main():
     @jax.jit  # one trivial executable: materialise all params at once
     def make_params():
         return jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32
-                                else s.dtype), shapes)
+            lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16)
+            if s.dtype == jnp.float32 else jnp.zeros(s.shape, s.dtype), shapes)
 
     variables = make_params()
 
     iters = 8
 
     @jax.jit
-    def run(x, ctx, pooled):
+    def run(variables, x, ctx, pooled):
         # chain `iters` CFG denoise forwards on-device (per-call tunnel latency
-        # would otherwise dominate; see .claude/skills/verify gotchas)
+        # would otherwise dominate; see .claude/skills/verify gotchas).
+        # params are an ARGUMENT — closing over them would bake 4.5GB of
+        # constants into the executable.
         def body(c, i):
             v = model.apply(variables, c, jnp.full((2 * batch,), 500.0), ctx, pooled)
             return (c - 0.05 * v).astype(c.dtype), None
@@ -68,9 +70,19 @@ def main():
         return jax.lax.scan(body, x, jnp.arange(iters))[0]
 
     x = jax.random.normal(key, lat.shape, jnp.bfloat16)
-    jax.block_until_ready(run(x, ctx, pooled))  # compile + warmup
+
+    def timed_run():
+        # NOTE: on the axon tunnel block_until_ready returns before remote
+        # execution completes; pulling a scalar to host is the only reliable
+        # completion barrier (see .claude/skills/verify gotchas).
+        return float(jnp.sum(run(variables, x, ctx, pooled).astype(jnp.float32)))
+
+    def timed_run2(xv):
+        return float(jnp.sum(run(variables, xv, ctx, pooled).astype(jnp.float32)))
+
+    timed_run2(x)  # compile + warmup
     t0 = time.perf_counter()
-    jax.block_until_ready(run(x, ctx, pooled))
+    timed_run2(x + 1.0)  # distinct input: defeats any remote result caching
     dt_step = (time.perf_counter() - t0) / iters  # one CFG denoise step, batch 8
 
     imgs_per_sec = batch / (num_steps * dt_step)
