@@ -134,7 +134,15 @@ def main(argv=None):
 
     config = resolve_config(args.config)
     trainer = build_trainer(config, latent_hw=args.latent_hw)
-    trainer.run(max_epochs=args.max_epochs)
+    eval_prompts = None
+    try:
+        from adv_grpo_tpu.data.datasets import TextPromptDataset
+
+        test_ds = TextPromptDataset(str(config.dataset), "test")
+        eval_prompts = test_ds.prompts[: int(config.sample.test_batch_size)]
+    except (FileNotFoundError, OSError):
+        pass
+    trainer.run(max_epochs=args.max_epochs, eval_prompts=eval_prompts)
 
 
 if __name__ == "__main__":

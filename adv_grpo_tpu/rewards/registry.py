@@ -88,6 +88,7 @@ def multi_score(score_dict: Dict[str, float], ctx: RewardContext):
         if name == "dino_patch_cotrain":
             s = _require(ctx.dino, name, "dino scorer")
             key = _require(ctx.rng, name, "rng key")
+            key, ctx.rng = jax.random.split(key)  # fresh patches per call
             return np.asarray(s.patch_cotrain_score(
                 ctx.dino_backbone_params, ctx.dino_head_params, images, key))
         if name == "dino_multi_cotrain":

@@ -297,11 +297,13 @@ def contrastive_external_reward(scorer: "PickScoreScorer", params, images,
         adjusted = score + beta * (cos(img, anchor) - mean_j cos(img, hack_j))
     """
     img_emb, txt = scorer.features(params, images, input_ids)
-    ref_ids = input_ids if ref_input_ids is None else ref_input_ids
-    ref_emb, ref_txt = scorer.features(params, ref_images, ref_ids)
+    pix_ref = scorer.preprocess(ref_images)
+    ref_emb = _l2norm(scorer.clip.image_features(params, pix_ref))
     logit_scale = jnp.exp(params["logit_scale"])
     scores = logit_scale * jnp.sum(txt * img_emb, axis=-1) / 26.0
-    ref_scores = logit_scale * jnp.sum(ref_txt * ref_emb, axis=-1) / 26.0
+    # external score per reference image: mean text-similarity over the batch's
+    # prompts (the ref pool is shared; batch prompts are its judges)
+    ref_scores = logit_scale * jnp.mean(txt @ ref_emb.T, axis=0) / 26.0
 
     anchor = _l2norm(jnp.mean(ref_emb, axis=0, keepdims=True))
     ext_score = jnp.mean(ref_scores)

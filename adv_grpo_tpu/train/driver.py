@@ -330,8 +330,31 @@ class GRPOTrainer:
             self.timer.reset()
             metrics["epoch"] = self.epoch
             self.logger.log(metrics, step=int(self.state.global_step))
+            if cfg.save_dir and self.epoch % 10 == 0:
+                self._save_sample_grid(samples)
             self.epoch += 1
         return self.state
+
+    def _save_sample_grid(self, samples):
+        """Sample-image grid JPEG every 10 epochs (reference wandb grid,
+        train_sd3_fast_pickscore.py:869-924)."""
+        try:
+            from PIL import Image
+
+            from adv_grpo_tpu.native.lib import images_to_uint8
+
+            imgs = images_to_uint8(
+                np.asarray(samples["last_images"], np.float32)[:8])
+            n, h, w, _ = imgs.shape
+            grid = imgs.transpose(1, 0, 2, 3).reshape(h, n * w, 3)
+            import os
+
+            os.makedirs(str(self.config.save_dir), exist_ok=True)
+            Image.fromarray(grid).save(
+                os.path.join(str(self.config.save_dir),
+                             f"samples_epoch{self.epoch:05d}.jpg"), quality=90)
+        except Exception:
+            pass  # grid saving is best-effort observability
 
     def save(self):
         cfg = self.config

@@ -1,0 +1,113 @@
+"""SigLIP tower, VLM score extraction, prompt functions, extended scorers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adv_grpo_tpu.models.siglip import SigLIPVisionConfig, SigLIPVisionTower
+from adv_grpo_tpu.rewards.scorers import (
+    DINOMultiScorer, DINOScorer, PickScoreScorer, SigLIPScorer,
+    contrastive_external_reward, pickscore_patch_score,
+)
+from adv_grpo_tpu.models.clip_text import CLIPTextConfig
+from adv_grpo_tpu.models.vit import ViTConfig
+from adv_grpo_tpu.rewards.vlm import extract_qwenvl_score, QwenVLScorer
+from adv_grpo_tpu.data import datasets
+
+
+class TestSigLIP:
+    def test_tower_shapes(self):
+        cfg = SigLIPVisionConfig.tiny()
+        model = SigLIPVisionTower(cfg)
+        img = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 28, 28))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+        out = jax.jit(model.apply)(params, img)
+        assert out["tokens"].shape == (2, 4, cfg.hidden_size)  # no CLS token
+        assert out["pooled"].shape == (2, cfg.hidden_size)
+
+    def test_scorer_similarity(self):
+        s = SigLIPScorer(SigLIPVisionConfig.tiny(), image_size=28)
+        bp = s.init_backbone(jax.random.PRNGKey(0))
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 28, 28))
+        refs = jnp.concatenate([imgs, imgs * 0.3], axis=0)  # shared pool incl. selves
+        sims = s.similarity_to_refs(bp, imgs, refs)
+        np.testing.assert_allclose(np.asarray(sims), 1.0, atol=1e-4)
+        hp = s.init_head(jax.random.PRNGKey(2))
+        assert s.cotrain_score(bp, hp, imgs).shape == (2,)
+
+
+class TestExtendedScorers:
+    def _pick(self):
+        ps = PickScoreScorer(CLIPTextConfig.tiny(projection_dim=16),
+                             ViTConfig.tiny(projection_dim=16), image_size=28)
+        return ps, ps.init_params(jax.random.PRNGKey(0))
+
+    def test_pickscore_patch(self):
+        ps, params = self._pick()
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 28, 28))
+        ids = jnp.full((2, 16), 3, jnp.int32)
+        out = pickscore_patch_score(ps, params, imgs, ids)
+        assert out.shape == (2,) and np.all(np.isfinite(np.asarray(out)))
+
+    def test_contrastive_external_gate(self):
+        ps, params = self._pick()
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 28, 28))
+        refs = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 28, 28))
+        ids = jnp.full((4, 16), 3, jnp.int32)
+        adjusted, aux = contrastive_external_reward(ps, params, imgs, refs, ids)
+        assert adjusted.shape == (4,)
+        assert aux["raw_scores"].shape == (4,) and aux["ref_scores"].shape == (3,)
+
+    def test_dino_multi(self):
+        dino = DINOScorer(ViTConfig.dinov2_base(image_size=28, num_layers=3,
+                                                hidden_size=32,
+                                                intermediate_size=64, num_heads=2),
+                          image_size=28)
+        bp = dino.init_backbone(jax.random.PRNGKey(0))
+        multi = DINOMultiScorer(dino, layer_ids=(0, 2))
+        mp = multi.init_heads(jax.random.PRNGKey(1))
+        imgs = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 28, 28))
+        scores = multi.score(bp, mp, imgs)
+        assert scores.shape == (2,)
+        assert np.all((np.asarray(scores) >= 0) & (np.asarray(scores) <= 1))  # sigmoid
+
+
+class TestVLM:
+    def test_score_extraction(self):
+        assert extract_qwenvl_score("blah <Score>4</Score>") == 0.8
+        assert extract_qwenvl_score("<Score> 3.5 </Score>") == 0.7
+        assert extract_qwenvl_score("no score here") == 0.0
+        assert extract_qwenvl_score("<Score>9</Score>") == 1.0  # clamped
+
+    def test_injected_generate_fn(self):
+        scorer = QwenVLScorer(generate_fn=lambda imgs, prompts: [
+            f"<Score>{i + 1}</Score>" for i in range(len(prompts))])
+        out = scorer(np.zeros((2, 8, 8, 3), np.uint8), ["a", "b"])
+        np.testing.assert_allclose(out, [0.2, 0.4])
+
+
+class TestPromptFns:
+    def test_all_registered_fns_produce_prompts(self):
+        import random
+
+        random.seed(0)
+        for name, fn in datasets.PROMPT_FNS.items():
+            prompt, meta = fn()
+            assert isinstance(prompt, str) and prompt, name
+            assert isinstance(meta, dict), name
+
+    def test_simple_ocr_animals_format(self):
+        import random
+
+        random.seed(1)
+        prompt, _ = datasets.simple_ocr_animals()
+        quoted = prompt.split('"')[1]
+        assert set(quoted) == {"6"}  # repeated-6 target (reference prompts.py:54)
+
+    def test_counting_metadata(self):
+        import random
+
+        random.seed(2)
+        prompt, meta = datasets.counting()
+        assert len(meta["questions"]) == 2 and len(meta["answers"]) == 2
+        assert meta["answers"][0] in prompt
