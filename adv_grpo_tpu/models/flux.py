@@ -1,0 +1,256 @@
+"""Flux.1-class rectified-flow transformer in Flax.
+
+From-scratch implementation of the policy model behind the reference's Flux /
+Flux-Kontext samplers (adv_grpo/diffusers_patch/flux_pipeline_with_logprob.py,
+flux_kontext_pipeline_with_logprob.py — the reference loads diffusers
+FluxPipeline; SURVEY.md §2.1 marks the model family phase-2).
+
+Architecture semantics (diffusers FluxTransformer2DModel):
+  * packed 2x2 latent tokens (64-ch) -> x_embedder; text tokens (4096) ->
+    context_embedder; pooled text (768) + timestep (+ optional guidance)
+    sinusoidal embeddings -> the AdaLN conditioning vector
+  * 3-axis RoPE over (id_t, id_h, id_w) token ids, axes_dims (16, 56, 56)
+  * N_double MMDiT-style dual-stream blocks (text stream FIRST in the joint
+    sequence), then N_single parallel blocks over the fused [txt ; img]
+    sequence (attention and MLP computed from one fused projection)
+  * AdaLayerNormContinuous head -> linear back to packed channels
+
+TPU notes: attention via ops.attention.mha (Pallas flash on TPU); RoPE tables
+are trace-time constants from static ids; bf16 compute / fp32 params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adv_grpo_tpu.models.mmdit import (
+    AdaLNModulation, RMSNorm, _layer_norm, sincos_timestep_embedding,
+)
+from adv_grpo_tpu.ops.attention import mha
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    in_channels: int = 64  # packed 2x2 x 16
+    num_double_layers: int = 19
+    num_single_layers: int = 38
+    attention_head_dim: int = 128
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 4096
+    pooled_projection_dim: int = 768
+    guidance_embeds: bool = True  # Flux.1-dev; schnell: False
+    rope_axes_dims: Tuple[int, ...] = (16, 56, 56)
+    dtype: Any = jnp.bfloat16
+    remat: bool = True
+    attention_backend: Optional[str] = None
+
+    @property
+    def hidden_dim(self) -> int:
+        return self.attention_head_dim * self.num_attention_heads
+
+    @classmethod
+    def dev(cls, **o):
+        return cls(**o)
+
+    @classmethod
+    def tiny(cls, **o):
+        d = dict(in_channels=16, num_double_layers=2, num_single_layers=2,
+                 attention_head_dim=16, num_attention_heads=2,
+                 joint_attention_dim=32, pooled_projection_dim=24,
+                 rope_axes_dims=(4, 6, 6), dtype=jnp.float32, remat=False)
+        d.update(o)
+        return cls(**d)
+
+
+def rope_freqs(ids: np.ndarray, axes_dims) -> np.ndarray:
+    """(S, 3) integer ids -> (S, head_dim/2) complex rotation angles, per the
+    Flux 3-axis RoPE (theta 10000, axis dims concatenated)."""
+    outs = []
+    for axis, dim in enumerate(axes_dims):
+        pos = ids[:, axis].astype(np.float64)
+        half = dim // 2
+        freqs = 1.0 / (10000 ** (np.arange(half) / half))
+        outs.append(np.outer(pos, freqs))
+    return np.concatenate(outs, axis=-1).astype(np.float32)  # (S, head_dim/2)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, H, S, D); rotate interleaved pairs (Flux convention)."""
+    xf = x.astype(jnp.float32)
+    x1 = xf[..., 0::2]
+    x2 = xf[..., 1::2]
+    out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+def make_latent_ids(gh: int, gw: int) -> np.ndarray:
+    """Packed-latent token ids (t=0, row, col) — diffusers _prepare_latent_image_ids."""
+    ids = np.zeros((gh, gw, 3), np.int32)
+    ids[..., 1] = np.arange(gh)[:, None]
+    ids[..., 2] = np.arange(gw)[None, :]
+    return ids.reshape(gh * gw, 3)
+
+
+class FluxAttention(nn.Module):
+    """Joint attention over [txt ; img] with per-head RMS qk-norm and RoPE."""
+
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, img_mod, txt_mod, cos, sin):
+        c = self.cfg
+        H, d = c.num_attention_heads, c.attention_head_dim
+        dim = c.hidden_dim
+        B, s_img, _ = img_mod.shape
+        s_txt = txt_mod.shape[1]
+        dense = lambda n: nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name=n)
+
+        def qkv(x, prefix):
+            q = dense(f"{prefix}to_q")(x).reshape(B, -1, H, d)
+            k = dense(f"{prefix}to_k")(x).reshape(B, -1, H, d)
+            v = dense(f"{prefix}to_v")(x).reshape(B, -1, H, d)
+            q = RMSNorm(d, dtype=c.dtype, name=f"{prefix}norm_q")(q)
+            k = RMSNorm(d, dtype=c.dtype, name=f"{prefix}norm_k")(k)
+            return q, k, v
+
+        iq, ik, iv = qkv(img_mod, "")
+        tq, tk, tv = qkv(txt_mod, "add_")
+        # text first (diffusers Flux concat order)
+        q = jnp.concatenate([tq, iq], axis=1).transpose(0, 2, 1, 3)
+        k = jnp.concatenate([tk, ik], axis=1).transpose(0, 2, 1, 3)
+        v = jnp.concatenate([tv, iv], axis=1).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        s_tot = s_img + s_txt
+        pad = (-s_tot) % 128
+        if pad:
+            padw = ((0, 0), (0, 0), (0, pad), (0, 0))
+            q, k, v = (jnp.pad(a, padw) for a in (q, k, v))
+        o = mha(q, k, v, kv_len=s_tot, backend=c.attention_backend)
+        o = o[:, :, :s_tot].transpose(0, 2, 1, 3).reshape(B, s_tot, dim)
+        txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
+        return dense("to_out")(img_o), dense("to_add_out")(txt_o)
+
+
+class FluxDoubleBlock(nn.Module):
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, img, txt, temb, cos, sin):
+        c = self.cfg
+        dim = c.hidden_dim
+        im = AdaLNModulation(dim, 6, dtype=c.dtype, name="norm1")(temb)
+        tm = AdaLNModulation(dim, 6, dtype=c.dtype, name="norm1_context")(temb)
+        img_mod = _layer_norm(img, c.dtype) * (1 + im[1][:, None]) + im[0][:, None]
+        txt_mod = _layer_norm(txt, c.dtype) * (1 + tm[1][:, None]) + tm[0][:, None]
+        img_att, txt_att = FluxAttention(c, name="attn")(img_mod, txt_mod, cos, sin)
+        img = img + im[2][:, None] * img_att
+        txt = txt + tm[2][:, None] * txt_att
+
+        def ff(x, mods, name):
+            h = _layer_norm(x, c.dtype) * (1 + mods[4][:, None]) + mods[3][:, None]
+            h = nn.Dense(dim * 4, dtype=c.dtype, param_dtype=jnp.float32,
+                         name=f"{name}_fc1")(h)
+            h = nn.gelu(h, approximate=True)
+            h = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                         name=f"{name}_fc2")(h)
+            return x + mods[5][:, None] * h
+
+        return ff(img, im, "ff"), ff(txt, tm, "ff_context")
+
+
+class FluxSingleBlock(nn.Module):
+    """Parallel attention + MLP over the fused sequence (one modulation)."""
+
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, x, temb, cos, sin):
+        c = self.cfg
+        H, d = c.num_attention_heads, c.attention_head_dim
+        dim = c.hidden_dim
+        B, S, _ = x.shape
+        shift, scale, gate = AdaLNModulation(dim, 3, dtype=c.dtype, name="norm")(temb)
+        h = _layer_norm(x, c.dtype) * (1 + scale[:, None]) + shift[:, None]
+
+        q = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_q")(h)
+        k = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_k")(h)
+        v = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_v")(h)
+        q = RMSNorm(d, dtype=c.dtype, name="norm_q")(q.reshape(B, S, H, d))
+        k = RMSNorm(d, dtype=c.dtype, name="norm_k")(k.reshape(B, S, H, d))
+        v = v.reshape(B, S, H, d)
+        q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        pad = (-S) % 128
+        if pad:
+            padw = ((0, 0), (0, 0), (0, pad), (0, 0))
+            q, k, v = (jnp.pad(a, padw) for a in (q, k, v))
+        att = mha(q, k, v, kv_len=S, backend=c.attention_backend)
+        att = att[:, :, :S].transpose(0, 2, 1, 3).reshape(B, S, dim)
+
+        mlp = nn.Dense(dim * 4, dtype=c.dtype, param_dtype=jnp.float32,
+                       name="proj_mlp")(h)
+        mlp = nn.gelu(mlp, approximate=True)
+        out = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                       name="proj_out")(jnp.concatenate([att, mlp], axis=-1))
+        return x + gate[:, None] * out
+
+
+class FluxTransformer(nn.Module):
+    """__call__(packed_latents (B,S,64), timestep (B,) 0..1000,
+    encoder_hidden_states (B,S_txt,4096), pooled (B,768), img_ids (S,3) np,
+    txt_ids (S_txt,3) np, guidance (B,) or None) -> velocity (B,S,64)."""
+
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, latents, timestep, encoder_hidden_states, pooled,
+                 img_ids: np.ndarray, txt_ids: np.ndarray, guidance=None):
+        c = self.cfg
+        dim = c.hidden_dim
+        img = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                       name="x_embedder")(latents.astype(c.dtype))
+        txt = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                       name="context_embedder")(encoder_hidden_states.astype(c.dtype))
+
+        def mlp_embed(x, name):
+            h = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                         name=f"{name}_1")(x.astype(c.dtype))
+            return nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                            name=f"{name}_2")(nn.silu(h))
+
+        # Flux scales the timestep by 1/1000 before embedding
+        temb = mlp_embed(sincos_timestep_embedding(timestep / 1000.0, 256),
+                         "time_embed")
+        if c.guidance_embeds:
+            g = guidance if guidance is not None else jnp.ones_like(timestep) * 3.5
+            temb = temb + mlp_embed(sincos_timestep_embedding(g, 256),
+                                    "guidance_embed")
+        temb = temb + mlp_embed(pooled, "pooled_embed")
+
+        ids = np.concatenate([np.asarray(txt_ids), np.asarray(img_ids)], axis=0)
+        angles = jnp.asarray(rope_freqs(ids, c.rope_axes_dims))  # (S_tot, d/2)
+        cos = jnp.cos(angles)[None, None]
+        sin = jnp.sin(angles)[None, None]
+
+        dbl = nn.remat(FluxDoubleBlock) if c.remat else FluxDoubleBlock
+        sgl = nn.remat(FluxSingleBlock) if c.remat else FluxSingleBlock
+        for i in range(c.num_double_layers):
+            img, txt = dbl(c, name=f"double_{i}")(img, txt, temb, cos, sin)
+        x = jnp.concatenate([txt, img], axis=1)
+        for i in range(c.num_single_layers):
+            x = sgl(c, name=f"single_{i}")(x, temb, cos, sin)
+        img = x[:, txt.shape[1]:]
+
+        oscale, oshift = AdaLNModulation(dim, 2, dtype=c.dtype, name="norm_out")(temb)
+        img = _layer_norm(img, c.dtype) * (1 + oscale[:, None]) + oshift[:, None]
+        return nn.Dense(c.in_channels, dtype=c.dtype, param_dtype=jnp.float32,
+                        name="proj_out_final")(img)

@@ -116,3 +116,59 @@ class TestWanSampler:
         dt = float(sig[2] - sig[1])
         np.testing.assert_allclose(np.asarray(out.prev_sample),
                                    np.asarray(x + dt * v), rtol=1e-6)
+
+
+class TestFluxTransformer:
+    def test_forward_and_sampler_integration(self):
+        import numpy as np
+        from adv_grpo_tpu.models.flux import (
+            FluxConfig, FluxTransformer, make_latent_ids,
+        )
+        from adv_grpo_tpu.rollout.flux import FluxSamplerConfig, flux_denoise_with_logprob
+
+        cfg = FluxConfig.tiny()
+        model = FluxTransformer(cfg)
+        B, gh, gw = 1, 4, 4
+        S = gh * gw
+        img_ids = make_latent_ids(gh, gw)
+        txt_ids = np.zeros((3, 3), np.int32)
+        lat = jax.random.normal(jax.random.PRNGKey(0), (B, S, cfg.in_channels))
+        txt = jax.random.normal(jax.random.PRNGKey(1), (B, 3, cfg.joint_attention_dim))
+        pooled = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.pooled_projection_dim))
+        t = jnp.array([500.0])
+        variables = jax.jit(
+            lambda k: model.init(k, lat, t, txt, pooled, img_ids, txt_ids)
+        )(jax.random.PRNGKey(3))
+        out = model.apply(variables, lat, t, txt, pooled, img_ids, txt_ids)
+        assert out.shape == (B, S, cfg.in_channels)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+        # plug into the Flux rollout
+        def vfn(tokens, tvec):
+            return model.apply(variables, tokens, tvec, txt, pooled,
+                               make_latent_ids(gh, gw)[: tokens.shape[1]], txt_ids)
+
+        scfg = FluxSamplerConfig(num_steps=2, noise_level=0.5)
+        roll = flux_denoise_with_logprob(vfn, lat, jax.random.PRNGKey(4), scfg)
+        assert roll.log_probs.shape == (B, 2)
+        assert np.all(np.isfinite(np.asarray(roll.log_probs)))
+
+    def test_rope_rotation_properties(self):
+        import numpy as np
+        from adv_grpo_tpu.models.flux import apply_rope, rope_freqs
+
+        ids = np.array([[0, 0, 0], [0, 1, 2]], np.int32)
+        ang = rope_freqs(ids, (4, 6, 6))
+        assert ang.shape == (2, 8)
+        np.testing.assert_allclose(ang[0], 0.0)  # zero ids -> no rotation
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 2, 16))
+        cos = jnp.cos(jnp.asarray(ang))[None, None]
+        sin = jnp.sin(jnp.asarray(ang))[None, None]
+        r = apply_rope(x, cos, sin)
+        # norm-preserving per pair
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(r, axis=-1)),
+            np.asarray(jnp.linalg.norm(x, axis=-1)), rtol=1e-5)
+        # zero-angle position unchanged
+        np.testing.assert_allclose(np.asarray(r[:, :, 0]), np.asarray(x[:, :, 0]),
+                                   atol=1e-6)
