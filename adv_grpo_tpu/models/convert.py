@@ -422,6 +422,9 @@ def load_sd3_pipeline(model_dir: str, *, lora_rank=0, lora_alpha=1.0,
     params = convert_mmdit(t_sd, mmdit_cfg)
     if lora_rank > 0:
         params = _add_lora_leaves(params, mmdit_cfg)
+    # frozen weights in bf16 (the reference's bf16 mixed-precision layout,
+    # train_sd3_fast_pickscore.py:472-486); LoRA masters stay f32
+    params = cast_tree_bf16(params)
 
     with open(os.path.join(model_dir, "vae", "config.json")) as f:
         vc = json.load(f)
@@ -453,3 +456,84 @@ def _add_lora_leaves(params: Dict, cfg) -> Dict:
             leaf["lora_a"] = rng.normal(0, 1.0 / r, (kin, r)).astype(np.float32)
             leaf["lora_b"] = np.zeros((r, kout), np.float32)
     return params
+
+
+# ───────────────────────────── Flux (diffusers FluxTransformer2DModel) ───────
+
+
+def convert_flux(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """diffusers FluxTransformer2DModel -> models.flux.FluxTransformer params."""
+    g = _Taken(sd)
+
+    def dense(prefix):
+        return {"kernel": _t(g(prefix + ".weight")), "bias": g(prefix + ".bias")}
+
+    p: Dict[str, Any] = {
+        "x_embedder": dense("x_embedder"),
+        "context_embedder": dense("context_embedder"),
+        "time_embed_1": dense("time_text_embed.timestep_embedder.linear_1"),
+        "time_embed_2": dense("time_text_embed.timestep_embedder.linear_2"),
+        "pooled_embed_1": dense("time_text_embed.text_embedder.linear_1"),
+        "pooled_embed_2": dense("time_text_embed.text_embedder.linear_2"),
+        "norm_out": {"linear": dense("norm_out.linear")},
+        "proj_out_final": dense("proj_out"),
+    }
+    if cfg.guidance_embeds:
+        p["guidance_embed_1"] = dense("time_text_embed.guidance_embedder.linear_1")
+        p["guidance_embed_2"] = dense("time_text_embed.guidance_embedder.linear_2")
+
+    for i in range(cfg.num_double_layers):
+        b = f"transformer_blocks.{i}."
+        p[f"double_{i}"] = {
+            "norm1": {"linear": dense(b + "norm1.linear")},
+            "norm1_context": {"linear": dense(b + "norm1_context.linear")},
+            "attn": {
+                "to_q": dense(b + "attn.to_q"),
+                "to_k": dense(b + "attn.to_k"),
+                "to_v": dense(b + "attn.to_v"),
+                "to_out": dense(b + "attn.to_out.0"),
+                "add_to_q": dense(b + "attn.add_q_proj"),
+                "add_to_k": dense(b + "attn.add_k_proj"),
+                "add_to_v": dense(b + "attn.add_v_proj"),
+                "to_add_out": dense(b + "attn.to_add_out"),
+                "norm_q": {"weight": g(b + "attn.norm_q.weight")},
+                "norm_k": {"weight": g(b + "attn.norm_k.weight")},
+                "add_norm_q": {"weight": g(b + "attn.norm_added_q.weight")},
+                "add_norm_k": {"weight": g(b + "attn.norm_added_k.weight")},
+            },
+            "ff_fc1": dense(b + "ff.net.0.proj"),
+            "ff_fc2": dense(b + "ff.net.2"),
+            "ff_context_fc1": dense(b + "ff_context.net.0.proj"),
+            "ff_context_fc2": dense(b + "ff_context.net.2"),
+        }
+    for i in range(cfg.num_single_layers):
+        b = f"single_transformer_blocks.{i}."
+        p[f"single_{i}"] = {
+            "norm": {"linear": dense(b + "norm.linear")},
+            "to_q": dense(b + "attn.to_q"),
+            "to_k": dense(b + "attn.to_k"),
+            "to_v": dense(b + "attn.to_v"),
+            "norm_q": {"weight": g(b + "attn.norm_q.weight")},
+            "norm_k": {"weight": g(b + "attn.norm_k.weight")},
+            "proj_mlp": dense(b + "proj_mlp"),
+            "proj_out": dense(b + "proj_out"),
+        }
+    return p
+
+
+def cast_tree_bf16(tree, keep_f32=("lora_",)):
+    """Cast frozen f32 leaves to bf16 (production HBM layout); LoRA leaves stay
+    f32 (trainable master weights)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(tree)
+    out = {}
+    for k, v in flat.items():
+        is_lora = any(any(tag in str(part) for tag in keep_f32) for part in k)
+        if hasattr(v, "dtype") and v.dtype == np.float32 and not is_lora:
+            out[k] = jnp.asarray(v, jnp.bfloat16)
+        else:
+            out[k] = v
+    return traverse_util.unflatten_dict(out)

@@ -154,3 +154,61 @@ class TestStructuralConverters:
                           jnp.zeros((1, cfg.pooled_projection_dim)))
         assert out.shape == (1, 16, 8, 8)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestFluxConverter:
+    def test_flux_converter_synthetic(self):
+        from adv_grpo_tpu.models.flux import FluxConfig, FluxTransformer, make_latent_ids
+
+        cfg = FluxConfig.tiny(guidance_embeds=True)
+        dim = cfg.hidden_dim
+        rng = np.random.default_rng(0)
+        sd = {}
+
+        def lin(name, i, o):
+            sd[name + ".weight"] = rng.normal(0, 0.02, (o, i)).astype(np.float32)
+            sd[name + ".bias"] = np.zeros(o, np.float32)
+
+        lin("x_embedder", cfg.in_channels, dim)
+        lin("context_embedder", cfg.joint_attention_dim, dim)
+        for name, i in [("timestep_embedder", 256), ("text_embedder", cfg.pooled_projection_dim),
+                        ("guidance_embedder", 256)]:
+            lin(f"time_text_embed.{name}.linear_1", i, dim)
+            lin(f"time_text_embed.{name}.linear_2", dim, dim)
+        lin("norm_out.linear", dim, 2 * dim)
+        lin("proj_out", dim, cfg.in_channels)
+        hd = cfg.attention_head_dim
+        for i in range(cfg.num_double_layers):
+            b = f"transformer_blocks.{i}."
+            lin(b + "norm1.linear", dim, 6 * dim)
+            lin(b + "norm1_context.linear", dim, 6 * dim)
+            for nm in ["to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj"]:
+                lin(b + f"attn.{nm}", dim, dim)
+            lin(b + "attn.to_out.0", dim, dim)
+            lin(b + "attn.to_add_out", dim, dim)
+            for nm in ["norm_q", "norm_k", "norm_added_q", "norm_added_k"]:
+                sd[b + f"attn.{nm}.weight"] = np.ones(hd, np.float32)
+            lin(b + "ff.net.0.proj", dim, 4 * dim)
+            lin(b + "ff.net.2", 4 * dim, dim)
+            lin(b + "ff_context.net.0.proj", dim, 4 * dim)
+            lin(b + "ff_context.net.2", 4 * dim, dim)
+        for i in range(cfg.num_single_layers):
+            b = f"single_transformer_blocks.{i}."
+            lin(b + "norm.linear", dim, 3 * dim)
+            for nm in ["to_q", "to_k", "to_v"]:
+                lin(b + f"attn.{nm}", dim, dim)
+            sd[b + "attn.norm_q.weight"] = np.ones(hd, np.float32)
+            sd[b + "attn.norm_k.weight"] = np.ones(hd, np.float32)
+            lin(b + "proj_mlp", dim, 4 * dim)
+            lin(b + "proj_out", 5 * dim, dim)
+
+        params = convert.convert_flux(sd, cfg)
+        model = FluxTransformer(cfg)
+        S = 16
+        out = model.apply({"params": params},
+                          jnp.zeros((1, S, cfg.in_channels)), jnp.array([500.0]),
+                          jnp.zeros((1, 3, cfg.joint_attention_dim)),
+                          jnp.zeros((1, cfg.pooled_projection_dim)),
+                          make_latent_ids(4, 4), np.zeros((3, 3), np.int32))
+        assert out.shape == (1, S, cfg.in_channels)
+        assert np.all(np.isfinite(np.asarray(out)))
