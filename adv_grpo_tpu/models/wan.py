@@ -1,0 +1,190 @@
+"""WAN-class text-to-video diffusion transformer in Flax.
+
+The policy model behind the reference's WAN rollout
+(adv_grpo/diffusers_patch/wan_pipeline_with_logprob.py — loaded from diffusers
+WanPipeline; SURVEY.md marks the family phase-3). Architecture semantics
+(diffusers WanTransformer3DModel, T2V):
+
+  * 5-D latents (B, C, F, H, W) patchified (1, 2, 2) -> tokens (F * H/2 * W/2)
+  * sinusoidal timestep -> MLP -> per-block 6-way modulation added to a learned
+    scale-shift table
+  * N blocks of [self-attention with 3-axis (t, h, w) RoPE + RMS qk-norm] ->
+    [cross-attention to UMT5 text states] -> [GELU FFN], all residual
+  * scale-shift output norm -> linear -> 3D unpatchify
+
+Attention via ops.attention.mha (Pallas flash on TPU). The UMT5 text encoder is
+models/t5.py (WAN uses the same gated-gelu UMT5 family).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adv_grpo_tpu.models.mmdit import RMSNorm, _layer_norm, sincos_timestep_embedding
+from adv_grpo_tpu.models.flux import apply_rope, rope_freqs
+from adv_grpo_tpu.ops.attention import mha
+
+
+@dataclasses.dataclass(frozen=True)
+class WanConfig:
+    in_channels: int = 16
+    out_channels: int = 16
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    num_layers: int = 30
+    attention_head_dim: int = 128
+    num_attention_heads: int = 12
+    text_dim: int = 4096
+    ffn_dim: int = 8960
+    rope_axes_dims: Tuple[int, ...] = (44, 42, 42)  # sums to head_dim
+    dtype: Any = jnp.bfloat16
+    remat: bool = True
+    attention_backend: Optional[str] = None
+
+    @property
+    def hidden_dim(self) -> int:
+        return self.attention_head_dim * self.num_attention_heads
+
+    @classmethod
+    def t2v_1_3b(cls, **o):
+        return cls(**o)
+
+    @classmethod
+    def tiny(cls, **o):
+        d = dict(num_layers=2, attention_head_dim=16, num_attention_heads=2,
+                 text_dim=32, ffn_dim=64, rope_axes_dims=(8, 4, 4),
+                 dtype=jnp.float32, remat=False)
+        d.update(o)
+        return cls(**d)
+
+
+def make_video_ids(f: int, gh: int, gw: int) -> np.ndarray:
+    """(S, 3) = (frame, row, col) token ids for 3-axis RoPE."""
+    t, h, w = np.meshgrid(np.arange(f), np.arange(gh), np.arange(gw),
+                          indexing="ij")
+    return np.stack([t, h, w], axis=-1).reshape(-1, 3).astype(np.int32)
+
+
+class WanBlock(nn.Module):
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, x, text, temb6, cos, sin):
+        c = self.cfg
+        H, d = c.num_attention_heads, c.attention_head_dim
+        dim = c.hidden_dim
+        B, S, _ = x.shape
+        # learned per-block scale-shift table + time modulation (WAN style)
+        table = self.param("scale_shift_table", nn.initializers.normal(0.02),
+                           (6, dim), jnp.float32)
+        mods = [table[i][None].astype(c.dtype) + temb6[i] for i in range(6)]
+        shift_sa, scale_sa, gate_sa, shift_ff, scale_ff, gate_ff = mods
+
+        dense = lambda n: nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                                   name=n)
+
+        # self-attention with 3D RoPE
+        h = _layer_norm(x, c.dtype) * (1 + scale_sa[:, None]) + shift_sa[:, None]
+        q = RMSNorm(d, dtype=c.dtype, name="norm_q")(
+            dense("to_q")(h).reshape(B, S, H, d))
+        k = RMSNorm(d, dtype=c.dtype, name="norm_k")(
+            dense("to_k")(h).reshape(B, S, H, d))
+        v = dense("to_v")(h).reshape(B, S, H, d)
+        q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        pad = (-S) % 128
+        if pad:
+            padw = ((0, 0), (0, 0), (0, pad), (0, 0))
+            q, k, v = (jnp.pad(a, padw) for a in (q, k, v))
+        att = mha(q, k, v, kv_len=S, backend=c.attention_backend)
+        att = att[:, :, :S].transpose(0, 2, 1, 3).reshape(B, S, dim)
+        x = x + gate_sa[:, None] * dense("to_out")(att)
+
+        # cross-attention to text (no modulation, plain LN — WAN norm2)
+        hq = _layer_norm(x, c.dtype)
+        St = text.shape[1]
+        q = RMSNorm(d, dtype=c.dtype, name="cross_norm_q")(
+            dense("cross_to_q")(hq).reshape(B, S, H, d)).transpose(0, 2, 1, 3)
+        k = RMSNorm(d, dtype=c.dtype, name="cross_norm_k")(
+            dense("cross_to_k")(text).reshape(B, St, H, d)).transpose(0, 2, 1, 3)
+        v = dense("cross_to_v")(text).reshape(B, St, H, d).transpose(0, 2, 1, 3)
+        padq = (-S) % 128
+        padk = (-St) % 128
+        if padq:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, padq), (0, 0)))
+        if padk:
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, padk), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, padk), (0, 0)))
+        catt = mha(q, k, v, kv_len=St, backend=c.attention_backend)
+        catt = catt[:, :, :S].transpose(0, 2, 1, 3).reshape(B, S, dim)
+        x = x + dense("cross_to_out")(catt)
+
+        # FFN
+        h = _layer_norm(x, c.dtype) * (1 + scale_ff[:, None]) + shift_ff[:, None]
+        h = nn.Dense(c.ffn_dim, dtype=c.dtype, param_dtype=jnp.float32,
+                     name="ffn_fc1")(h)
+        h = nn.gelu(h, approximate=True)
+        h = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                     name="ffn_fc2")(h)
+        return x + gate_ff[:, None] * h
+
+
+class WanTransformer(nn.Module):
+    """__call__(latents (B,C,F,H,W), timestep (B,) 0..1000, text_states
+    (B,S_txt,text_dim)) -> velocity (B,C,F,H,W)."""
+
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, latents, timestep, text_states):
+        c = self.cfg
+        dim = c.hidden_dim
+        pt, ph, pw = c.patch_size
+        B, C, F, Hh, Ww = latents.shape
+        f, gh, gw = F // pt, Hh // ph, Ww // pw
+
+        x = latents.reshape(B, C, f, pt, gh, ph, gw, pw)
+        x = x.transpose(0, 2, 4, 6, 3, 5, 7, 1).reshape(
+            B, f * gh * gw, pt * ph * pw * C)
+        x = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                     name="patch_embedding")(x.astype(c.dtype))
+
+        text = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                        name="text_embedding_1")(text_states.astype(c.dtype))
+        text = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                        name="text_embedding_2")(nn.gelu(text, approximate=True))
+
+        t_emb = sincos_timestep_embedding(timestep, 256)
+        t_emb = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                         name="time_embed_1")(t_emb.astype(c.dtype))
+        t_emb = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
+                         name="time_embed_2")(nn.silu(t_emb))
+        temb6 = jnp.split(
+            nn.Dense(6 * dim, dtype=c.dtype, param_dtype=jnp.float32,
+                     name="time_projection")(nn.silu(t_emb)), 6, axis=-1)
+
+        ids = make_video_ids(f, gh, gw)
+        angles = jnp.asarray(rope_freqs(ids, c.rope_axes_dims))
+        cos = jnp.cos(angles)[None, None]
+        sin = jnp.sin(angles)[None, None]
+
+        block = nn.remat(WanBlock) if c.remat else WanBlock
+        for i in range(c.num_layers):
+            x = block(c, name=f"block_{i}")(x, text, temb6, cos, sin)
+
+        table = self.param("scale_shift_table_out", nn.initializers.normal(0.02),
+                           (2, dim), jnp.float32)
+        shift = table[0][None].astype(c.dtype) + temb6[0] * 0  # time-independent
+        scale = table[1][None].astype(c.dtype)
+        x = _layer_norm(x, c.dtype) * (1 + scale[:, None]) + shift[:, None]
+        x = nn.Dense(pt * ph * pw * c.out_channels, dtype=c.dtype,
+                     param_dtype=jnp.float32, name="proj_out")(x)
+        x = x.reshape(B, f, gh, gw, pt, ph, pw, c.out_channels)
+        x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6).reshape(B, c.out_channels, F, Hh, Ww)
+        return x

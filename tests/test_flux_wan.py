@@ -172,3 +172,29 @@ class TestFluxTransformer:
         # zero-angle position unchanged
         np.testing.assert_allclose(np.asarray(r[:, :, 0]), np.asarray(x[:, :, 0]),
                                    atol=1e-6)
+
+
+class TestWanTransformer:
+    def test_forward_and_sampler_integration(self):
+        import numpy as np
+        from adv_grpo_tpu.models.wan import WanConfig, WanTransformer
+        from adv_grpo_tpu.rollout.wan import WanSamplerConfig, wan_denoise_with_logprob
+
+        cfg = WanConfig.tiny()
+        model = WanTransformer(cfg)
+        B, C, F, H, W = 1, 16, 2, 4, 4
+        lat = jax.random.normal(jax.random.PRNGKey(0), (B, C, F, H, W))
+        txt = jax.random.normal(jax.random.PRNGKey(1), (B, 3, cfg.text_dim))
+        t = jnp.array([500.0])
+        variables = jax.jit(model.init)(jax.random.PRNGKey(2), lat, t, txt)
+        out = model.apply(variables, lat, t, txt)
+        assert out.shape == lat.shape
+        assert np.all(np.isfinite(np.asarray(out)))
+
+        def vfn(latents, tvec, lora_scale):
+            return model.apply(variables, latents, tvec, txt)
+
+        scfg = WanSamplerConfig(num_steps=2)
+        roll = wan_denoise_with_logprob(vfn, lat, jax.random.PRNGKey(3), scfg)
+        assert roll.log_probs.shape == (B, 2)
+        assert np.all(np.isfinite(np.asarray(roll.log_probs)))
