@@ -67,6 +67,7 @@ def denoise_with_logprob(
     key: jax.Array,
     cfg: SamplerConfig,
     random_timestep=0,
+    start_idx=0,
 ) -> RolloutResult:
     """Run the full denoise chain and extract the stochastic training window.
 
@@ -90,6 +91,8 @@ def denoise_with_logprob(
     else:
         embeds, pooled = prompt_embeds, pooled_embeds
 
+    start = jnp.asarray(start_idx, jnp.int32)
+
     def step(carry, i):
         x, k = carry
         t = timesteps[i]
@@ -97,25 +100,35 @@ def denoise_with_logprob(
         in_window = (i >= rt) & (i < rt + T)  # (B,)
         nl = jnp.where(in_window, cfg.noise_level, 0.0)  # per-sample
 
-        if cfg.do_cfg:
-            model_in = jnp.concatenate([x, x], axis=0)
-            tvec = jnp.full((2 * B,), t)
-        else:
-            model_in = x
-            tvec = jnp.full((B,), t)
-        v = velocity_fn(model_in, tvec, embeds, pooled)
-        if cfg.do_cfg:
-            v_uncond, v_cond = jnp.split(v, 2, axis=0)
-            v = v_uncond + cfg.guidance_scale * (v_cond - v_uncond)
+        def run_step(operands):
+            x, k = operands
+            if cfg.do_cfg:
+                model_in = jnp.concatenate([x, x], axis=0)
+                tvec = jnp.full((2 * B,), t)
+            else:
+                model_in = x
+                tvec = jnp.full((B,), t)
+            v = velocity_fn(model_in, tvec, embeds, pooled)
+            if cfg.do_cfg:
+                v_uncond, v_cond = jnp.split(v, 2, axis=0)
+                v = v_uncond + cfg.guidance_scale * (v_cond - v_uncond)
+            k2, sub = jax.random.split(k)
+            noise = jax.random.normal(sub, x.shape, jnp.float32)
+            out = cps_step_with_logprob(v, x, sig, sig_prev, nl, noise=noise)
+            return out.prev_sample, out.log_prob, k2
 
-        k, sub = jax.random.split(k)
-        noise = jax.random.normal(sub, x.shape, jnp.float32)
-        out = cps_step_with_logprob(v, x, sig, sig_prev, nl, noise=noise)
-        ys = dict(x_in=x.astype(jnp.float32), x_out=out.prev_sample,
-                  log_prob=out.log_prob,
+        def skip_step(operands):
+            # image-to-image entry (flux_to_sd3 distribution transfer,
+            # reference sd3_..._fast.py:722-1081): steps before start_idx are
+            # pass-through; lax.cond skips the model call at runtime.
+            x, k = operands
+            return x.astype(jnp.float32), jnp.zeros((B,), jnp.float32), k
+
+        x_out, log_prob, k = jax.lax.cond(i >= start, run_step, skip_step, (x, k))
+        ys = dict(x_in=x.astype(jnp.float32), x_out=x_out, log_prob=log_prob,
                   t=jnp.full((B,), t), sigma=jnp.full((B,), sig),
                   sigma_prev=jnp.full((B,), sig_prev))
-        return (out.prev_sample, k), ys
+        return (x_out, k), ys
 
     (final, _), ys = jax.lax.scan(step, (latents.astype(jnp.float32), key),
                                   jnp.arange(cfg.num_steps))
@@ -189,3 +202,39 @@ def sample_random_timestep(key, cfg: SamplerConfig, shape=()):
     seeded per process; here keyed by the caller's folded PRNG key). Pass
     shape=(B,) for per-sample windows across an SPMD global batch."""
     return jax.random.randint(key, shape, 0, cfg.num_steps // 2 + 1)
+
+
+def denoise_from_image(
+    velocity_fn: Callable,
+    encode_image_fn: Callable,
+    images: jax.Array,
+    prompt_embeds: jax.Array,
+    pooled_embeds: jax.Array,
+    neg_prompt_embeds: Optional[jax.Array],
+    neg_pooled_embeds: Optional[jax.Array],
+    key: jax.Array,
+    cfg: SamplerConfig,
+    start_idx: int,
+    random_timestep=None,
+) -> RolloutResult:
+    """Distribution/style transfer: external image -> latent -> forward-noise at
+    the schedule's ``start_idx`` -> stochastic-window denoise from there.
+
+    Mirrors the reference ``flux_to_sd3_denoise[_random]``
+    (sd3_pipeline_with_logprob_fast.py:722-1081): the reference image (e.g. a
+    Qwen-Image/Flux sample) is VAE-encoded (:686-705 image_to_latent), noised
+    with the flow-matching forward at sigma[start_idx]:
+        x = (1 - sigma) * x0 + sigma * noise   (:766-767)
+    then denoised by the windowed sampler starting at that step.
+    """
+    sched = flow_match_schedule(cfg.num_steps, shift=cfg.shift,
+                                num_train_timesteps=cfg.num_train_timesteps)
+    k_enc, k_noise, k_roll = jax.random.split(key, 3)
+    x0 = encode_image_fn(images, k_enc)
+    sigma0 = jnp.float32(sched.sigmas[int(start_idx)])
+    noise = jax.random.normal(k_noise, x0.shape, jnp.float32)
+    latents = (1.0 - sigma0) * x0.astype(jnp.float32) + sigma0 * noise
+    rt = start_idx if random_timestep is None else random_timestep
+    return denoise_with_logprob(
+        velocity_fn, latents, prompt_embeds, pooled_embeds, neg_prompt_embeds,
+        neg_pooled_embeds, k_roll, cfg, random_timestep=rt, start_idx=start_idx)

@@ -110,3 +110,33 @@ class TestRollout:
         vals = np.asarray(jax.vmap(lambda k: sample_random_timestep(k, cfg))(keys))
         assert vals.min() >= 0 and vals.max() <= 5
         assert len(np.unique(vals)) > 3
+
+
+class TestImageToImage:
+    def test_denoise_from_image_pass_through_and_window(self):
+        from adv_grpo_tpu.rollout.sampler import denoise_from_image
+
+        lat, emb, pooled, neg, negp = make_inputs()
+        images = jax.random.normal(jax.random.PRNGKey(5), (B, 3, HW * 2, HW * 2))
+
+        def encode_image_fn(imgs, key):
+            # stand-in VAE encode: downsample to latent shape deterministically
+            return jnp.mean(imgs.reshape(B, 3, HW, 2, HW, 2), axis=(3, 5)).repeat(
+                2, axis=1)[:, :C]
+
+        out = denoise_from_image(
+            toy_velocity_fn, encode_image_fn, images, emb, pooled, neg, negp,
+            jax.random.PRNGKey(6), CFG, start_idx=2)
+        # steps 0,1 skipped: their recorded logprobs are zero and x unchanged
+        assert out.latents.shape == (B, 3, C, HW, HW)
+        # window starts at start_idx=2 => both window steps executed
+        assert np.all(np.isfinite(np.asarray(out.log_probs)))
+        # replay identity still holds for executed window steps
+        from adv_grpo_tpu.rollout.sampler import compute_log_prob
+
+        lp, _, _ = compute_log_prob(
+            toy_velocity_fn, out.latents[:, 0], out.latents[:, 1],
+            out.timesteps[:, 0], out.sigmas[:, 0], out.sigmas_prev[:, 0],
+            emb, pooled, neg, negp, CFG)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(out.log_probs[:, 0]),
+                                   rtol=1e-6, atol=2e-7)
