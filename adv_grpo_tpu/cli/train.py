@@ -111,14 +111,8 @@ def build_trainer(config, latent_hw=None, dataset=None):
     trainer = GRPOTrainer(
         config, pipeline, dataset, encode, reward_fn,
         eval_reward_fn=eval_reward_fn, reference_store=ref_store,
-        discriminator=disc, latent_hw=latent_hw or int(config.resolution) // 8)
-    # keep the live co-trained params visible to the reward context
-    if disc is not None:
-        if disc.kind == "pickscore":
-            ctx.pickscore_params = disc.params
-        else:
-            ctx.dino_head_params = disc.params
-        trainer._reward_ctx = ctx
+        discriminator=disc, latent_hw=latent_hw or int(config.resolution) // 8,
+        reward_ctx=ctx)
     return trainer
 
 

@@ -60,7 +60,8 @@ class GRPOTrainer:
     def __init__(self, config, pipeline, dataset, text_encode_fn,
                  reward_fn, eval_reward_fn=None, reference_store=None,
                  discriminator: Optional[DiscriminatorBundle] = None,
-                 mesh=None, latent_hw: int = 64, logger: Optional[MetricLogger] = None):
+                 mesh=None, latent_hw: int = 64, logger: Optional[MetricLogger] = None,
+                 reward_ctx=None):
         self.config = config
         if bool(config.tpu.debug_nans):
             # TPU analogue of the reference's global
@@ -74,6 +75,7 @@ class GRPOTrainer:
         self.eval_reward_fn = eval_reward_fn or reward_fn
         self.reference_store = reference_store
         self.disc = discriminator
+        self.reward_ctx = reward_ctx  # live co-trained params flow back here
         self.mesh = mesh or make_mesh()
         self.latent_hw = latent_hw
         self.n_dev = len(self.mesh.devices.flatten())
@@ -252,13 +254,21 @@ class GRPOTrainer:
                 d.params, d.opt_state, loss = d.step_fn(
                     d.params, d.opt_state, jnp.asarray(real[:n]),
                     jnp.asarray(fake[:n]), jnp.asarray(ids))
-                return {"d_loss": float(loss)}
+                out = {"d_loss": float(loss)}
             else:
                 key = jax.random.fold_in(jax.random.PRNGKey(7), self.epoch)
                 d.params, d.opt_state, loss, acc = d.step_fn(
                     d.params, d.opt_state, d.backbone_params,
                     jnp.asarray(real[:n]), jnp.asarray(fake[:n]), key)
-                return {"d_loss": float(loss), "d_acc": float(acc)}
+                out = {"d_loss": float(loss), "d_acc": float(acc)}
+        # the co-trained reward must score with the CURRENT discriminator
+        # (reference scores via the live DDP-wrapped scorer, rewards.py:577-589)
+        if self.reward_ctx is not None:
+            if d.kind == "pickscore":
+                self.reward_ctx.pickscore_params = d.params
+            else:
+                self.reward_ctx.dino_head_params = d.params
+        return out
 
     def should_run_d_epoch(self, samples) -> bool:
         """The two gates (reference :1025-1037; ..._dino_patch.py:1097-1118)."""

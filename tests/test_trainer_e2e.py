@@ -179,3 +179,32 @@ class TestTrainerE2E:
         t2.run(max_epochs=1)
         assert len(calls) == 1  # ref reward < gen reward -> D epoch, G skipped
         assert int(t2.state.micro_step) == 0
+
+
+class TestLiveRewardParams:
+    def test_d_step_updates_reward_context(self, tiny_pipeline):
+        # after a D-epoch the co-trained reward must score with the NEW params
+        # (reference scores through the live scorer, rewards.py:577-589)
+        import types
+
+        cfg = tiny_config()
+        cfg.train_d = True
+        cfg.discriminator = "pickscore"
+
+        def fake_step(params, opt, real, fake, ids):
+            return {"w": params["w"] + 1.0}, opt, jnp.float32(0.1)
+
+        disc = DiscriminatorBundle(kind="pickscore", step_fn=fake_step,
+                                   opt_state=None, params={"w": jnp.zeros(())},
+                                   tokenize=lambda ps: np.zeros((len(ps), 4), np.int32))
+
+        class DarkRefStore:
+            def get_batch(self, prompts, rng=None):
+                return np.full((len(prompts), 1, 3, 16, 16), -5.0, np.float32)
+
+        ctx = types.SimpleNamespace(pickscore_params=disc.params,
+                                    dino_head_params=None)
+        trainer = make_trainer(tiny_pipeline, cfg, discriminator=disc,
+                               reference_store=DarkRefStore(), reward_ctx=ctx)
+        trainer.run(max_epochs=1)  # dark refs -> D-epoch fires
+        assert float(ctx.pickscore_params["w"]) == 1.0
