@@ -49,6 +49,13 @@ def build_pipeline(config, latent_hw: Optional[int] = None):
         return SD3Pipeline.from_pretrained(
             model_dir, lora_rank=lora_rank,
             lora_alpha=float(config.train.lora_alpha))
+    if bool(config.get("smoke_test", False)):
+        mmdit_cfg = MMDiTConfig.tiny(num_layers=2, dual_attention_layers=(0,),
+                                     lora_rank=max(lora_rank, 1) if lora_rank else 4)
+        return SD3Pipeline.random_init(
+            jax.random.PRNGKey(int(config.seed)), mmdit_cfg,
+            VAEConfig.tiny(latent_channels=16), latent_hw=latent_hw or 8,
+            text_seq_len=6)
     mmdit_cfg = MMDiTConfig.sd35_medium(
         lora_rank=lora_rank, lora_alpha=float(config.train.lora_alpha))
     hw = latent_hw or int(config.resolution) // 8

@@ -57,10 +57,18 @@ def build_trainer(config, latent_hw=None, dataset=None):
     ctx = RewardContext()
     disc = None
     reward_names = set(dict(config.reward_fn)) | set(dict(config.eval_reward_fn))
+    smoke = bool(config.get("smoke_test", False))
     if reward_names & {"pickscore", "pickscore_cotrain", "clipscore"}:
         import numpy as np
 
-        ps = PickScoreScorer()
+        if smoke:
+            from adv_grpo_tpu.models.clip_text import CLIPTextConfig
+            from adv_grpo_tpu.models.vit import ViTConfig
+
+            ps = PickScoreScorer(CLIPTextConfig.tiny(projection_dim=16),
+                                 ViTConfig.tiny(projection_dim=16), image_size=28)
+        else:
+            ps = PickScoreScorer()
         ctx.pickscore = ps
         ctx.pickscore_params = ps.init_params(key)  # or converted PickScore_v1
         try:
@@ -73,13 +81,22 @@ def build_trainer(config, latent_hw=None, dataset=None):
                 return tok(prompts, padding="max_length", max_length=77,
                            truncation=True, return_tensors="np").input_ids
         except Exception:
+            max_len = ps.clip.text_cfg.max_position_embeddings
+
             def tokenize(prompts):
                 import numpy as np
 
-                return np.full((len(prompts), 77), 3, np.int32)
+                return np.full((len(prompts), max_len), 3, np.int32)
         ctx.tokenize = tokenize
     if reward_names & {"image_similarity", "dino_cotrain", "dino_patch_cotrain"}:
-        dino = DINOScorer()
+        if smoke:
+            from adv_grpo_tpu.models.vit import ViTConfig
+
+            dino = DINOScorer(ViTConfig.dinov2_base(
+                image_size=28, num_layers=2, hidden_size=32,
+                intermediate_size=64, num_heads=2), image_size=28)
+        else:
+            dino = DINOScorer()
         ctx.dino = dino
         ctx.dino_backbone_params = dino.init_backbone(key)
         ctx.dino_head_params = dino.init_head(key)

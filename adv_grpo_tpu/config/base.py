@@ -89,6 +89,9 @@ def get_config() -> ml_collections.ConfigDict:
     config.case_name = ""
     config.max_global_step = 1000  # reference stop condition (trainer :709)
 
+    # smoke mode: tiny random-init models/scorers end-to-end (CI / dry runs)
+    config.smoke_test = False
+
     # TPU-native additions (no reference analogue)
     config.tpu = tpu = ml_collections.ConfigDict()
     tpu.mesh_axes = ("data",)
