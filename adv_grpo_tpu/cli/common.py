@@ -153,3 +153,64 @@ def load_real_text_encoder(config, pipeline):
         return np.asarray(out.prompt_embeds), np.asarray(out.pooled_prompt_embeds)
 
     return encode
+
+
+def build_reward_context(config, reward_names):
+    """Assemble the RewardContext scorers a preset's reward names require.
+    Shared by the train/eval CLIs; smoke_test shrinks every scorer."""
+    import jax
+
+    from adv_grpo_tpu.rewards.registry import RewardContext
+    from adv_grpo_tpu.rewards.scorers import DINOScorer, PickScoreScorer
+
+    key = jax.random.PRNGKey(int(config.seed) + 1)
+    ctx = RewardContext()
+    smoke = bool(config.get("smoke_test", False))
+    if reward_names & {"pickscore", "pickscore_cotrain", "clipscore",
+                       "pickscore_patch", "constractive_external"}:
+        if smoke:
+            from adv_grpo_tpu.models.clip_text import CLIPTextConfig
+            from adv_grpo_tpu.models.vit import ViTConfig
+
+            ps = PickScoreScorer(CLIPTextConfig.tiny(projection_dim=16),
+                                 ViTConfig.tiny(projection_dim=16), image_size=28)
+        else:
+            ps = PickScoreScorer()
+        ctx.pickscore = ps
+        ctx.pickscore_params = ps.init_params(key)
+        try:
+            import transformers
+
+            tok = transformers.CLIPTokenizer.from_pretrained(
+                os.path.join(str(config.pretrained.model), "tokenizer"))
+
+            def tokenize(prompts):
+                return tok(prompts, padding="max_length", max_length=77,
+                           truncation=True, return_tensors="np").input_ids
+        except Exception:
+            max_len = ps.clip.text_cfg.max_position_embeddings
+
+            def tokenize(prompts):
+                return np.full((len(prompts), max_len), 3, np.int32)
+        ctx.tokenize = tokenize
+    if reward_names & {"image_similarity", "image_similarity_eval",
+                       "dino_cotrain", "dino_patch_cotrain"}:
+        if smoke:
+            from adv_grpo_tpu.models.vit import ViTConfig
+
+            dino = DINOScorer(ViTConfig.dinov2_base(
+                image_size=28, num_layers=2, hidden_size=32,
+                intermediate_size=64, num_heads=2), image_size=28)
+        else:
+            dino = DINOScorer()
+        import jax as _jax
+
+        ctx.dino = dino
+        ctx.dino_backbone_params = dino.init_backbone(key)
+        ctx.dino_head_params = dino.init_head(key)
+        ctx.rng = _jax.random.PRNGKey(int(config.seed) + 2)
+    if reward_names & {"ocr", "video_ocr"}:
+        from adv_grpo_tpu.rewards.host import OcrScorer
+
+        ctx.ocr = OcrScorer()
+    return ctx

@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--latent_hw", type=int, default=None)
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--rewards", action="store_true",
+                        help="score generated images with config.eval_reward_fn "
+                             "(reference scripts/eval.py:260-301)")
     args = parser.parse_args(argv)
 
     import jax
@@ -64,8 +67,32 @@ def main(argv=None):
                                    pooled, neg_e, neg_p, key, cfg, 0)
         return pipeline.decode(out.final_latents)
 
+    reward_fn = None
+    if args.rewards:
+        from adv_grpo_tpu.cli.common import build_reward_context
+        from adv_grpo_tpu.rewards.registry import multi_score
+
+        names = dict(config.eval_reward_fn) or dict(config.reward_fn)
+        if str(config.test_reference_image_path) and str(config.json_path):
+            from adv_grpo_tpu.data.datasets import ReferenceImageStore
+
+            ctx_store = ReferenceImageStore(
+                str(config.json_path), str(config.test_reference_image_path),
+                resolution=int(config.resolution))
+        else:
+            ctx_store = None
+            needs_refs = {"image_similarity", "image_similarity_eval",
+                          "siglip_image_similarity", "constractive_external"}
+            dropped = sorted(set(names) & needs_refs)
+            if dropped:
+                print(f"no reference-image store configured; skipping {dropped}")
+                names = {k: v for k, v in names.items() if k not in needs_refs}
+        ctx = build_reward_context(config, set(names))
+        reward_fn = (multi_score(names, ctx), ctx_store)
+
     os.makedirs(args.out_dir, exist_ok=True)
     rank = jax.process_index()
+    reward_sums, reward_counts = {}, {}
     prompt2files = {}
     for start in range(0, len(prompts), bs):
         chunk = prompts[start:start + bs]
@@ -76,6 +103,14 @@ def main(argv=None):
         images = generate(jnp.asarray(embeds), jnp.asarray(pooled),
                           jnp.asarray(neg_e), jnp.asarray(neg_p),
                           jax.random.PRNGKey(0))
+        if reward_fn is not None:
+            fn, store = reward_fn
+            refs = (jnp.asarray(store.get_batch(chunk)) if store is not None
+                    else None)
+            details, _ = fn(images, chunk, [{}] * len(chunk), ref_images=refs)
+            for k_, v_ in details.items():
+                reward_sums[k_] = reward_sums.get(k_, 0.0) + float(np.sum(v_))
+                reward_counts[k_] = reward_counts.get(k_, 0) + len(v_)
         u8 = images_to_uint8(np.asarray(images, np.float32))
         for i, (prompt, arr) in enumerate(zip(chunk, u8)):
             idx = start + i
@@ -96,6 +131,8 @@ def main(argv=None):
         with open(os.path.join(args.out_dir, "prompt2img.json"), "w") as f:
             json.dump(merged, f, indent=1)
     print(f"wrote {sum(len(v) for v in prompt2files.values())} images to {args.out_dir}")
+    for k_ in sorted(reward_sums):
+        print(f"eval_reward_{k_}: {reward_sums[k_] / max(reward_counts[k_], 1):.6f}")
 
 
 if __name__ == "__main__":

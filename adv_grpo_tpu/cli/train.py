@@ -31,8 +31,7 @@ def build_trainer(config, latent_hw=None, dataset=None):
     from adv_grpo_tpu.data.datasets import (
         GenevalPromptDataset, ReferenceImageStore, TextPromptDataset,
     )
-    from adv_grpo_tpu.rewards.registry import RewardContext, multi_score
-    from adv_grpo_tpu.rewards.scorers import DINOScorer, PickScoreScorer
+    from adv_grpo_tpu.rewards.registry import multi_score
     from adv_grpo_tpu.train.driver import DiscriminatorBundle, GRPOTrainer
     from adv_grpo_tpu.train.grpo_trainer import make_dino_d_step, make_pickscore_d_step
 
@@ -53,58 +52,11 @@ def build_trainer(config, latent_hw=None, dataset=None):
             resolution=int(config.resolution))
 
     # reward context with the scorers the preset needs
-    key = jax.random.PRNGKey(int(config.seed) + 1)
-    ctx = RewardContext()
-    disc = None
+    from adv_grpo_tpu.cli.common import build_reward_context
+
     reward_names = set(dict(config.reward_fn)) | set(dict(config.eval_reward_fn))
-    smoke = bool(config.get("smoke_test", False))
-    if reward_names & {"pickscore", "pickscore_cotrain", "clipscore"}:
-        import numpy as np
-
-        if smoke:
-            from adv_grpo_tpu.models.clip_text import CLIPTextConfig
-            from adv_grpo_tpu.models.vit import ViTConfig
-
-            ps = PickScoreScorer(CLIPTextConfig.tiny(projection_dim=16),
-                                 ViTConfig.tiny(projection_dim=16), image_size=28)
-        else:
-            ps = PickScoreScorer()
-        ctx.pickscore = ps
-        ctx.pickscore_params = ps.init_params(key)  # or converted PickScore_v1
-        try:
-            import transformers
-
-            tok = transformers.CLIPTokenizer.from_pretrained(
-                os.path.join(str(config.pretrained.model), "tokenizer"))
-
-            def tokenize(prompts):
-                return tok(prompts, padding="max_length", max_length=77,
-                           truncation=True, return_tensors="np").input_ids
-        except Exception:
-            max_len = ps.clip.text_cfg.max_position_embeddings
-
-            def tokenize(prompts):
-                import numpy as np
-
-                return np.full((len(prompts), max_len), 3, np.int32)
-        ctx.tokenize = tokenize
-    if reward_names & {"image_similarity", "dino_cotrain", "dino_patch_cotrain"}:
-        if smoke:
-            from adv_grpo_tpu.models.vit import ViTConfig
-
-            dino = DINOScorer(ViTConfig.dinov2_base(
-                image_size=28, num_layers=2, hidden_size=32,
-                intermediate_size=64, num_heads=2), image_size=28)
-        else:
-            dino = DINOScorer()
-        ctx.dino = dino
-        ctx.dino_backbone_params = dino.init_backbone(key)
-        ctx.dino_head_params = dino.init_head(key)
-        ctx.rng = jax.random.PRNGKey(int(config.seed) + 2)
-    if "ocr" in reward_names:
-        from adv_grpo_tpu.rewards.host import OcrScorer
-
-        ctx.ocr = OcrScorer()
+    ctx = build_reward_context(config, reward_names)
+    disc = None
 
     disc_kind = str(config.discriminator)
     if bool(config.train_d) and disc_kind:

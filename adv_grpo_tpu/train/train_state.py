@@ -1,7 +1,9 @@
 """Generator train state: LoRA-subtree AdamW + accumulation + EMA, pjit-ready.
 
 Optimizer semantics from the reference (train_sd3_fast_pickscore.py:554-561,
-:419-427, :1165-1187): AdamW(lr 3e-4, betas (0.9, 0.999), wd 1e-4, eps 1e-8)
+:419-427, :1165-1187; note the reference's ``timestep_fraction`` computes a
+``num_train_timesteps`` that the fast trainers no longer consume (:411-412) —
+accumulation scales by ``train_num_steps`` exactly as here): AdamW(lr 3e-4, betas (0.9, 0.999), wd 1e-4, eps 1e-8)
 over ONLY the LoRA parameters; gradient accumulation of
 ``gradient_accumulation_steps * train_num_steps`` microbatches per optimizer
 step; global-norm clip 1.0 at the sync point; EMA of the trainable leaves with
