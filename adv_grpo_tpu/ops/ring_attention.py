@@ -21,7 +21,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from adv_grpo_tpu.ops.attention import DEFAULT_MASK_VALUE
 
 
 def ring_attention(q, k, v, axis_name: str, *, sm_scale: Optional[float] = None):

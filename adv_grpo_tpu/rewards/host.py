@@ -8,7 +8,7 @@ dispatches them through a ThreadPoolExecutor, train_sd3_fast_pickscore.py:668,
 from __future__ import annotations
 
 import io
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -11,7 +11,7 @@ what these classes pin down.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from adv_grpo_tpu.core.scheduler import flow_match_schedule
 from adv_grpo_tpu.core.sde import cps_step_with_logprob
