@@ -128,3 +128,21 @@ class T5Encoder(nn.Module):
             x = T5Block(c, name=f"block_{i}")(x, pos_bias, attention_mask)
         x = T5LayerNorm(c.d_model, c.layer_norm_eps, c.dtype, name="final_ln")(x)
         return x
+
+
+def encode_with_length_mask(encoder: "T5Encoder", params, input_ids, lengths):
+    """UMT5/T5 prompt embedding with per-sample length masking.
+
+    Mirrors the WAN text-embedding helper
+    (adv_grpo/diffusers_patch/wan_prompt_embedding.py:4-40): positions at or
+    beyond each sample's true length are attention-masked during encoding AND
+    zeroed in the returned embeddings, so padded positions contribute nothing
+    to cross-attention.
+    """
+    import numpy as np
+
+    B, S = input_ids.shape
+    pos = jnp.arange(S)[None, :]
+    mask = pos < jnp.asarray(lengths)[:, None]
+    hidden = encoder.apply({"params": params}, input_ids, mask)
+    return jnp.where(mask[..., None], hidden, 0.0)

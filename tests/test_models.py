@@ -207,3 +207,23 @@ class TestComposition:
         # scale invariance via the input L2 normalisation
         out2 = jax.jit(model.apply)(variables, emb * 7.0)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-4)
+
+
+class TestWanPromptEmbedding:
+    def test_length_masked_encoding(self):
+        from adv_grpo_tpu.models.t5 import T5Encoder, T5Config, encode_with_length_mask
+
+        cfg = T5Config.tiny()
+        model = T5Encoder(cfg)
+        ids = jnp.array([[5, 6, 7, 0, 0, 0, 0, 0], [5, 6, 7, 8, 9, 0, 0, 0]])
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), ids)["params"]
+        out = encode_with_length_mask(model, params, ids, jnp.array([3, 5]))
+        # padded positions exactly zero
+        np.testing.assert_allclose(np.asarray(out[0, 3:]), 0.0)
+        np.testing.assert_allclose(np.asarray(out[1, 5:]), 0.0)
+        assert float(jnp.max(jnp.abs(out[0, :3]))) > 0
+        # masking means trailing pad ids don't affect valid positions
+        ids2 = ids.at[0, 6].set(63)
+        out2 = encode_with_length_mask(model, params, ids2, jnp.array([3, 5]))
+        np.testing.assert_allclose(np.asarray(out[0, :3]), np.asarray(out2[0, :3]),
+                                   atol=1e-6)
