@@ -31,10 +31,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-_BQ = 256
-_BKV = None  # auto: whole-KV block when it fits VMEM (see _pick_kv_block)
-_MAX_SINGLE_KV = 2048  # measured on v5e: single KV block (no online-softmax
-# cross-block correction) is 2.3x faster than 256-blocks at MMDiT seq ~1280
+_BQ = None  # auto (see _pick_qkv_blocks)
+_BKV = None
+_MAX_SINGLE_KV = 2048
+_SCORES_VMEM_BUDGET = 12 * 1024 * 1024  # fwd: one f32 scores tile
+_SCORES_VMEM_BUDGET_BWD = 3 * 1024 * 1024  # bwd keeps s/p/ds tiles live at once
+# (scoped vmem limit is 16MB on v5e; whole-tile bwd at 1280^2 overflows it)
 
 
 def _pick_block(s: int, pref: int) -> int:
@@ -44,13 +46,27 @@ def _pick_block(s: int, pref: int) -> int:
     return max(b, 1)
 
 
-def _pick_kv_block(skv: int, pref, block_q: int) -> int:
-    if pref is not None:
-        return _pick_block(skv, pref)
-    # VMEM check: scores tile (bq, skv) f32 + k/v tiles; cap single-block mode
-    if skv <= _MAX_SINGLE_KV:
-        return skv
-    return _pick_block(skv, 512)
+def _pick_qkv_blocks(sq: int, skv: int, pref_q, pref_kv,
+                     budget: int = _SCORES_VMEM_BUDGET):
+    """Measured on v5e at MMDiT shapes (16x24x1280x64): whole-tile mode
+    (bq=sq, bkv=skv — one grid cell per (batch, head), no online-softmax
+    cross-block pass) runs 2.6x faster than 256x256 blocking and 2.7x faster
+    than XLA SDPA; fall back to blocking only when the f32 scores tile would
+    blow the VMEM budget."""
+    if pref_kv is not None:
+        bkv = _pick_block(skv, pref_kv)
+    elif skv <= _MAX_SINGLE_KV:
+        bkv = skv
+    else:
+        bkv = _pick_block(skv, 512)
+    if pref_q is not None:
+        bq = _pick_block(sq, pref_q)
+    else:
+        bq = sq
+        while bq > 128 and bq * bkv * 4 > budget:
+            bq //= 2
+        bq = _pick_block(sq, bq)
+    return bq, bkv
 
 
 def attention_reference(q, k, v, *, sm_scale, kv_len=None):
@@ -117,8 +133,7 @@ def _flash_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret,
                save_residuals=True):
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    bq = _pick_block(sq, block_q)
-    bkv = _pick_kv_block(skv, block_kv, bq)
+    bq, bkv = _pick_qkv_blocks(sq, skv, block_q, block_kv)
     nkv = skv // bkv
     grid = (b, h, sq // bq, nkv)
     kernel = functools.partial(
@@ -248,8 +263,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
 def _flash_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv, interpret):
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    bq = _pick_block(sq, block_q)
-    bkv = _pick_kv_block(skv, block_kv, bq)
+    bq, bkv = _pick_qkv_blocks(sq, skv, block_q, block_kv,
+                               budget=_SCORES_VMEM_BUDGET_BWD)
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # (b,h,sq)
     di = jnp.broadcast_to(di[..., None], (b, h, sq, 128))
 
