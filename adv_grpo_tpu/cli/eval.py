@@ -16,6 +16,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from adv_grpo_tpu.cli.common import honor_platform_env
+
+    honor_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="eval_sd3_fast")
     parser.add_argument("--out_dir", default="eval_outputs")
@@ -36,7 +39,6 @@ def main(argv=None):
     from adv_grpo_tpu.data.datasets import TextPromptDataset
     from adv_grpo_tpu.models.lora import merge_lora_params
     from adv_grpo_tpu.native.lib import images_to_uint8
-    from adv_grpo_tpu.parallel.mesh import process_allgather
     from adv_grpo_tpu.rollout.sampler import SamplerConfig, denoise_with_logprob
     from adv_grpo_tpu.train import checkpoint as ckpt_lib
     from PIL import Image
@@ -120,14 +122,25 @@ def main(argv=None):
             Image.fromarray(arr).save(os.path.join(args.out_dir, name))
             prompt2files.setdefault(prompt, []).append(name)
 
-    merged = process_allgather(prompt2files)
-    if isinstance(merged, list):
-        out = {}
-        for d in merged:
-            for k, v in d.items():
-                out.setdefault(k, []).extend(v)
-        merged = out
+    # Merge the per-rank prompt->files maps. Strings can't ride a device
+    # allgather (reference gathers tokenized prompts for the same reason,
+    # scripts/eval.py:153-166) — ranks share a filesystem (the reference's
+    # assumption too: all ranks write PNGs into one out_dir), so each rank
+    # writes a JSON shard and rank 0 merges after a device barrier.
+    shard_path = os.path.join(args.out_dir, f"prompt2img_rank{rank}.json")
+    with open(shard_path, "w") as f:
+        json.dump(prompt2files, f)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("eval_prompt2img_shards")
     if jax.process_index() == 0:
+        merged = {}
+        for fname in sorted(os.listdir(args.out_dir)):
+            if fname.startswith("prompt2img_rank") and fname.endswith(".json"):
+                with open(os.path.join(args.out_dir, fname)) as f:
+                    for k, v in json.load(f).items():
+                        merged.setdefault(k, []).extend(v)
         with open(os.path.join(args.out_dir, "prompt2img.json"), "w") as f:
             json.dump(merged, f, indent=1)
     print(f"wrote {sum(len(v) for v in prompt2files.values())} images to {args.out_dir}")

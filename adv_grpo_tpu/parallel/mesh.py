@@ -46,13 +46,82 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def process_allgather(tree):
-    """Host-level gather of per-process objects (prompt strings, numpy rewards).
+def put_tree(tree, mesh: Mesh, spec: P):
+    """Place host arrays onto the mesh under ``spec``.
 
-    Single-process: identity. Multi-host: multihost_utils.process_allgather —
-    the analogue of the reference's dist.all_gather_object / tokenized-prompt
-    gather trick (train_sd3_fast_pickscore.py:962-969; scripts/eval.py:153-166).
+    Single-process: ``device_put`` of the full (global) arrays. Multi-process:
+    each host holds only ITS shard of the batch, so the global array is
+    assembled with ``jax.make_array_from_process_local_data`` — the JAX-native
+    replacement for the reference's per-rank DataLoader + DDP input split
+    (train_sd3_fast_pickscore.py:663-664).
     """
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree)
+
+
+def put_batch(tree, mesh: Mesh):
+    """Leading-axis batch placement (P('data')), multi-host aware."""
+    return put_tree(tree, mesh, P("data"))
+
+
+def to_local_np(x) -> np.ndarray:
+    """Device array -> this process's batch shard as numpy.
+
+    Single-process: the whole array. Multi-host: the local devices' shards
+    concatenated in batch order (the inverse of put_batch) — global arrays are
+    not fully addressable from one host, so hosts post-process only their own
+    rows (reference: each DDP rank scores its own images, rewards.py:1012-1095).
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def gather_global(x: np.ndarray):
+    """Host-gather a per-process NUMERIC array along axis 0.
+
+    Returns ``(global_array, local_slice)`` where ``global_array[local_slice]``
+    is this process's contribution. This is the analogue of the reference's
+    gather->stat->ungather advantage dance (train_sd3_fast_pickscore.py:960-999)
+    — and of its tokenized-prompt gather trick (:962-969): callers gather
+    prompt IDS (ints), never python strings, so the payload is something
+    ``multihost_utils.process_allgather`` can actually move.
+    """
+    x = np.asarray(x)
+    if x.dtype == object or x.dtype.kind in ("U", "S"):
+        raise TypeError(
+            "gather_global requires a numeric array; gather prompt IDs / "
+            "tokenized prompts, not strings (reference "
+            "train_sd3_fast_pickscore.py:962-969)")
+    if jax.process_count() == 1:
+        return x, slice(0, x.shape[0])
+    from jax.experimental import multihost_utils
+
+    g = np.asarray(multihost_utils.process_allgather(x))  # (P, n, ...)
+    n = x.shape[0]
+    start = jax.process_index() * n
+    return g.reshape((-1,) + x.shape[1:]), slice(start, start + n)
+
+
+def process_allgather(tree):
+    """Host-level gather of per-process NUMERIC arrays (rewards, token ids).
+
+    Single-process: identity. Multi-host: multihost_utils.process_allgather.
+    Strings/objects are rejected — gather token ids or dataset indices instead
+    (the reference's own trick, train_sd3_fast_pickscore.py:962-969).
+    """
+    for leaf in jax.tree_util.tree_leaves(tree):
+        a = np.asarray(leaf)
+        if a.dtype == object or a.dtype.kind in ("U", "S"):
+            raise TypeError(
+                "process_allgather cannot gather strings/objects; gather "
+                "prompt ids (see gather_global)")
     if jax.process_count() == 1:
         return tree
     from jax.experimental import multihost_utils

@@ -39,10 +39,12 @@ def save_state(save_dir: str, global_step: int, state, extra: Optional[dict] = N
                "ema": None if state.ema is None else state.ema.params,
                "global_step": np.asarray(state.global_step),
                "micro_step": np.asarray(state.micro_step)}
-    if extra:
-        payload["extra"] = extra
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "state"), payload, force=True)
+        if extra:
+            # separate item: the generator state stays template-restorable
+            # whether or not a D-state rides along
+            ckptr.save(os.path.join(path, "extra"), extra, force=True)
     return path
 
 
@@ -68,6 +70,28 @@ def restore_state(path: str, state):
         global_step=jnp.asarray(restored["global_step"]),
         micro_step=jnp.asarray(restored["micro_step"]),
     )
+
+
+def restore_extra(path: str, extra_template: dict) -> Optional[dict]:
+    """Restore the D-state (or any ``extra``) payload from a full-state
+    checkpoint written with ``save_state(extra=...)``; returns None when the
+    checkpoint has no extra payload (e.g. a non-adversarial run). Covers the
+    reference's ``config.weight_path`` discriminator warm-start
+    (train_sd3_fast_pickscore.py:518-523)."""
+    ocp = _ocp()
+    extra_path = os.path.join(os.path.abspath(path), "extra")
+    if not os.path.isdir(extra_path):
+        return None
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(extra_path)
+    import jax.numpy as jnp
+
+    def graft(template, got):
+        if got is None:
+            return template
+        return jax.tree_util.tree_map(jnp.asarray, got)
+
+    return {k: graft(extra_template.get(k), v) for k, v in restored.items()}
 
 
 def save_lora_only(save_dir: str, global_step: int, lora_flat: dict,

