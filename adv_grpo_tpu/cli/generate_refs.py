@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from adv_grpo_tpu.cli.common import honor_platform_env
+
+    honor_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="eval_sd3_fast")
     parser.add_argument("--text_file", required=True)

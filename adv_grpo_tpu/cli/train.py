@@ -40,10 +40,11 @@ def build_trainer(config, latent_hw=None, dataset=None):
 
     if dataset is None:
         ds_dir = str(config.dataset)
+        limit = config.get("limit", None)
         if os.path.exists(os.path.join(ds_dir, "train_metadata.jsonl")):
-            dataset = GenevalPromptDataset(ds_dir, "train")
+            dataset = GenevalPromptDataset(ds_dir, "train", limit=limit)
         else:
-            dataset = TextPromptDataset(ds_dir, "train")
+            dataset = TextPromptDataset(ds_dir, "train", limit=limit)
 
     ref_store = None
     if str(config.json_path) and os.path.exists(str(config.json_path)):
@@ -82,20 +83,30 @@ def build_trainer(config, latent_hw=None, dataset=None):
         eval_reward_fn=eval_reward_fn, reference_store=ref_store,
         discriminator=disc, latent_hw=latent_hw or int(config.resolution) // 8,
         reward_ctx=ctx)
+    weight_path = config.get("weight_path", None)
+    if disc is not None and weight_path:
+        # discriminator warm-start from a prior adversarial checkpoint
+        # (reference config.weight_path, train_sd3_fast_pickscore.py:518-523)
+        trainer.restore_discriminator(str(weight_path))
     return trainer
 
 
 def main(argv=None):
+    from adv_grpo_tpu.cli.common import honor_platform_env
+
+    honor_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--max_epochs", type=int, default=None)
     parser.add_argument("--latent_hw", type=int, default=None)
+    parser.add_argument("--set", action="append", default=[], metavar="K=V",
+                        help="config override, e.g. --set train.learning_rate=1e-4")
     args = parser.parse_args(argv)
 
     maybe_init_distributed()
-    from adv_grpo_tpu.cli.common import resolve_config
+    from adv_grpo_tpu.cli.common import apply_overrides, resolve_config
 
-    config = resolve_config(args.config)
+    config = apply_overrides(resolve_config(args.config), args.set)
     trainer = build_trainer(config, latent_hw=args.latent_hw)
     eval_prompts = None
     try:

@@ -116,6 +116,35 @@ def dino_cotrain_sd3_patch_fast(replica_count=8):
     return config
 
 
+def smoke_sd3_fast(replica_count=1):
+    """Explicit random-init smoke preset: tiny model, 2 sampling batches, no
+    reference weights — the ONLY sanctioned weightless training config (real
+    presets now fail loudly when pretrained.model isn't a local dir)."""
+    config = _sd3_fast_common(compressibility(), replica_count)
+    config.smoke_test = True
+    config.pretrained.model = ""
+    config.dataset = os.path.join(os.getcwd(), "dataset/pickscore_small")
+    config.wandb_init = False
+    config.sample.num_steps = 3
+    config.sample.train_num_steps = 2
+    config.sample.eval_num_steps = 3
+    config.sample.num_image_per_prompt = 4
+    config.sample.mini_num_image_per_prompt = 2
+    config.sample.num_batches_per_epoch = 2
+    config.sample.test_batch_size = 2
+    config.sample.random_timestep = None
+    config.train.gradient_accumulation_steps = 1
+    config.train_d = False
+    config.json_path = ""
+    config.reward_fn = {"jpeg_compressibility": 1}
+    config.eval_reward_fn = {}
+    config.save_dir = "logs/smoke"
+    config.save_freq = 1000
+    config.eval_freq = 1000
+    config.case_name = "smoke"
+    return config
+
+
 def eval_sd3_fast(replica_count=8):
     """Deterministic batch-eval preset (reference config/grpo.py:247-312)."""
     config = _sd3_fast_common(compressibility(), replica_count)
@@ -134,9 +163,7 @@ _PRESETS = {
     "pickscore_cotrain_sd3_fast": pickscore_cotrain_sd3_fast,
     "dino_cotrain_sd3_fast": dino_cotrain_sd3_fast,
     "dino_cotrain_sd3_patch_fast": dino_cotrain_sd3_patch_fast,
-    "dino_cotrain_sd3_multi_fast": dino_cotrain_sd3_patch_fast,  # multi-layer
-    # variant shares the patch trainer skeleton; dedicated fusion head is a
-    # phase-2 item (SURVEY.md §2.1 dino_multi_cotrain_score).
+    "smoke_sd3_fast": smoke_sd3_fast,
     "eval_sd3_fast": eval_sd3_fast,
 }
 

@@ -23,10 +23,13 @@ import numpy as np
 
 
 class TextPromptDataset:
-    def __init__(self, dataset_dir: str, split: str = "train"):
+    def __init__(self, dataset_dir: str, split: str = "train",
+                 limit: Optional[int] = None):
         path = os.path.join(dataset_dir, f"{split}.txt")
         with open(path) as f:
             self.prompts = [line.strip() for line in f]
+        if limit:  # reference config.limit (train_sd3_fast_dino_patch.py:662)
+            self.prompts = self.prompts[: int(limit)]
         self.metadatas = [{} for _ in self.prompts]
 
     def __len__(self):
@@ -37,10 +40,13 @@ class TextPromptDataset:
 
 
 class GenevalPromptDataset:
-    def __init__(self, dataset_dir: str, split: str = "train"):
+    def __init__(self, dataset_dir: str, split: str = "train",
+                 limit: Optional[int] = None):
         path = os.path.join(dataset_dir, f"{split}_metadata.jsonl")
         with open(path, encoding="utf-8") as f:
             self.metadatas = [json.loads(line) for line in f]
+        if limit:
+            self.metadatas = self.metadatas[: int(limit)]
         self.prompts = [m["prompt"] for m in self.metadatas]
 
     def __len__(self):

@@ -11,6 +11,7 @@ what these classes pin down.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 
 import jax
@@ -71,6 +72,11 @@ class PickScoreScorer:
             image_size=image_size,
         )
         self.image_size = image_size
+        # compile the hot paths once per shape: the reward loop calls these
+        # every sampling batch, and eager per-op dispatch would dominate the
+        # epoch (params stay ARGUMENTS so live co-trained weights flow through)
+        self.score = jax.jit(self.score)
+        self.features = jax.jit(self.features)
 
     def init_params(self, key):
         return self.clip.init_params(key)
@@ -101,6 +107,8 @@ class CLIPScorer:
             image_size=image_size,
         )
         self.image_size = image_size
+        self.score = jax.jit(self.score)
+        self.image_similarity = jax.jit(self.image_similarity)
 
     def init_params(self, key):
         return self.clip.init_params(key)
@@ -129,6 +137,7 @@ class AestheticScorer:
         self.vision = VisionTransformer(self.vision_cfg)
         self.head = AestheticHead()
         self.image_size = image_size
+        self.score = jax.jit(self.score)
 
     def init_params(self, key):
         k1, k2 = jax.random.split(key)
@@ -172,6 +181,12 @@ class DINOScorer:
                 return nn.Dense(1, param_dtype=jnp.float32, name="fc2")(h).squeeze(-1)
 
         self.head = DINOHead(self.head_hidden)
+        self.features = jax.jit(self.features)
+        self.similarity_to_refs = jax.jit(self.similarity_to_refs)
+        self.cotrain_score = jax.jit(self.cotrain_score)
+        self.patch_cotrain_score = jax.jit(
+            self.patch_cotrain_score,
+            static_argnames=("n_patches", "cls_weight", "patch_weight"))
 
     def init_backbone(self, key):
         img = jnp.zeros((1, 3, self.image_size, self.image_size))
@@ -246,6 +261,9 @@ class SigLIPScorer:
                 return nn.Dense(1, param_dtype=jnp.float32, name="fc2")(h).squeeze(-1)
 
         self.head = Head(head_hidden)
+        self.pooled = jax.jit(self.pooled)
+        self.similarity_to_refs = jax.jit(self.similarity_to_refs)
+        self.cotrain_score = jax.jit(self.cotrain_score)
 
     def init_backbone(self, key):
         img = jnp.zeros((1, 3, self.image_size, self.image_size))
@@ -273,6 +291,7 @@ class SigLIPScorer:
                                self.pooled(backbone_params, images))
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def pickscore_patch_score(scorer: "PickScoreScorer", params, images, input_ids):
     """Per-patch PickScore: project ALL vision tokens through the visual
     projection, average text-patch cosine, * logit_scale / 26
@@ -287,6 +306,8 @@ def pickscore_patch_score(scorer: "PickScoreScorer", params, images, input_ids):
     return jnp.exp(params["logit_scale"]) * jnp.mean(patch_scores, axis=1) / 26.0
 
 
+@functools.partial(jax.jit, static_argnums=0,
+                   static_argnames=("beta", "top_n"))
 def contrastive_external_reward(scorer: "PickScoreScorer", params, images,
                                 ref_images, input_ids, ref_input_ids=None,
                                 beta: float = 0.5, top_n: int = 2):
@@ -338,6 +359,8 @@ class DINOMultiScorer:
                                 name="fuse")(x).squeeze(-1)
 
         self.fusion = Fusion()
+        self.score = jax.jit(self.score, static_argnames=(
+            "topk_tau", "temperature", "apply_sigmoid"))
 
     def init_heads(self, key):
         keys = jax.random.split(key, len(self.layer_ids) + 1)

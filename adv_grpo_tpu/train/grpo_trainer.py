@@ -43,8 +43,17 @@ from adv_grpo_tpu.train.train_state import (
 # ───────────────────────── compiled phase factories ─────────────────────────
 
 
-def make_sample_fn(pipeline, sampler_cfg: SamplerConfig, latent_hw: int):
-    """One sampling batch: rollout + decode. jit once per shape."""
+def make_sample_fn(pipeline, sampler_cfg: SamplerConfig, latent_hw: int,
+                   same_latent: bool = False, group_size: int = 1):
+    """One sampling batch: rollout + decode. jit once per shape.
+
+    ``same_latent``: one initial latent per prompt slot, repeated across its
+    ``group_size`` (=mini_num_image_per_prompt) images — group members then
+    share the whole pre-window trajectory (pre-window noise is 0) and differ
+    only inside the stochastic window, so reward variance within a group is
+    pure SDE-window credit (reference sample.same_latent; the reference
+    sampler realises the same sharing by repeating latents at the window
+    start, sd3_pipeline_with_logprob_fast.py:162-167)."""
 
     @jax.jit
     def sample(lora_flat, frozen_params, embeds, pooled, neg_embeds, neg_pooled,
@@ -54,9 +63,14 @@ def make_sample_fn(pipeline, sampler_cfg: SamplerConfig, latent_hw: int):
         vfn = pipeline.velocity_fn(params)
         B = embeds.shape[0]
         k_lat, k_roll = jax.random.split(key)
-        lat0 = jax.random.normal(
-            k_lat, (B, pipeline.mmdit_cfg.in_channels, latent_hw, latent_hw),
-            jnp.float32)
+        C = pipeline.mmdit_cfg.in_channels
+        if same_latent and group_size > 1:
+            lat0 = jax.random.normal(
+                k_lat, (B // group_size, C, latent_hw, latent_hw), jnp.float32)
+            lat0 = jnp.repeat(lat0, group_size, axis=0)
+        else:
+            lat0 = jax.random.normal(
+                k_lat, (B, C, latent_hw, latent_hw), jnp.float32)
         out = denoise_with_logprob(vfn, lat0, embeds, pooled, neg_embeds,
                                    neg_pooled, k_roll, sampler_cfg, rt)
         images = pipeline.decode(out.final_latents)

@@ -111,3 +111,31 @@ class TestPromptFns:
         prompt, meta = datasets.counting()
         assert len(meta["questions"]) == 2 and len(meta["answers"]) == 2
         assert meta["answers"][0] in prompt
+
+
+class TestBuildPipelineLoudFailure:
+    def test_missing_weights_dir_raises(self):
+        """A configured-but-missing pretrained.model must raise, not silently
+        random-init (VERDICT r1 missing #2 / ADVICE high)."""
+        import pytest
+
+        from adv_grpo_tpu.cli.common import build_pipeline
+        from adv_grpo_tpu.config import grpo as grpo_config
+
+        cfg = grpo_config.pickscore_cotrain_sd3_fast(replica_count=1)
+        cfg.pretrained.model = "stabilityai/stable-diffusion-3.5-medium"
+        cfg.smoke_test = False
+        with pytest.raises(FileNotFoundError):
+            build_pipeline(cfg)
+
+
+class TestDatasetLimit:
+    def test_limit_truncates(self, tmp_path):
+        from adv_grpo_tpu.data.datasets import TextPromptDataset
+
+        p = tmp_path / "train.txt"
+        p.write_text("\n".join(f"prompt {i}" for i in range(10)) + "\n")
+        ds = TextPromptDataset(str(tmp_path), "train", limit=3)
+        assert len(ds) == 3
+        full = TextPromptDataset(str(tmp_path), "train")
+        assert len(full) == 10

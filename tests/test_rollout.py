@@ -140,3 +140,38 @@ class TestImageToImage:
             emb, pooled, neg, negp, CFG)
         np.testing.assert_allclose(np.asarray(lp), np.asarray(out.log_probs[:, 0]),
                                    rtol=1e-6, atol=2e-7)
+
+
+class TestSameLatent:
+    def test_group_shares_initial_latent(self):
+        """same_latent=True: group members share lat0 and (with the window
+        pushed past the schedule) the whole deterministic trajectory."""
+        from adv_grpo_tpu.models.mmdit import MMDiTConfig
+        from adv_grpo_tpu.models.vae import VAEConfig
+        from adv_grpo_tpu.train.grpo_trainer import make_sample_fn
+        from adv_grpo_tpu.train.pipeline import SD3Pipeline
+        from adv_grpo_tpu.models.lora import lora_params
+
+        mcfg = MMDiTConfig.tiny(num_layers=1, dual_attention_layers=(),
+                                lora_rank=2, lora_alpha=4.0)
+        pipe = SD3Pipeline.random_init(jax.random.PRNGKey(0), mcfg,
+                                       VAEConfig.tiny(latent_channels=16),
+                                       latent_hw=8, text_seq_len=4)
+        cfg = SamplerConfig(num_steps=2, train_num_steps=1,
+                            guidance_scale=1.0, noise_level=0.7)
+        lora0 = lora_params(pipe.transformer_params["params"])
+        B, G = 4, 2
+        emb = jnp.zeros((B, 4, mcfg.joint_attention_dim))
+        pooled = jnp.zeros((B, mcfg.pooled_projection_dim))
+        rt_off = jnp.full((B,), cfg.num_steps, jnp.int32)  # window never opens
+
+        fn = make_sample_fn(pipe, cfg, 8, same_latent=True, group_size=G)
+        _, images = fn(lora0, pipe.transformer_params, emb, pooled, emb,
+                       pooled, jax.random.PRNGKey(3), rt_off)
+        np.testing.assert_allclose(np.asarray(images[0]), np.asarray(images[1]),
+                                   atol=1e-6)
+
+        fn2 = make_sample_fn(pipe, cfg, 8, same_latent=False, group_size=G)
+        _, images2 = fn2(lora0, pipe.transformer_params, emb, pooled, emb,
+                         pooled, jax.random.PRNGKey(3), rt_off)
+        assert float(np.max(np.abs(np.asarray(images2[0] - images2[1])))) > 1e-4
