@@ -262,4 +262,53 @@ def build_reward_context(config, reward_names):
         from adv_grpo_tpu.rewards.host import OcrScorer
 
         ctx.ocr = OcrScorer()
+    if "discriminator" in reward_names:
+        from adv_grpo_tpu.models.stylegan_d import StyleGANDConfig, StyleGANScorer
+
+        sg_cfg = StyleGANDConfig(image_size=32, base_channels=8) if smoke \
+            else StyleGANDConfig(image_size=int(config.resolution))
+        ctx.stylegan = StyleGANScorer(sg_cfg)
+        ctx.stylegan_params = ctx.stylegan.init_params(key)
+        sg_path = os.environ.get("STYLEGAN_D_PATH")
+        if sg_path:  # pretrained D weights (the reference's usage, :611)
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ctx.stylegan_params = ckptr.restore(sg_path)
+    # reference-protocol remote judges (urls overridable via env)
+    if "geneval" in reward_names:
+        from adv_grpo_tpu.rewards import remote as remote_lib
+
+        ctx.remote["geneval"] = remote_lib.geneval_score_client(
+            os.environ.get("GENEVAL_URL", remote_lib.GENEVAL_URL))
+    if "deqa" in reward_names:
+        from adv_grpo_tpu.rewards import remote as remote_lib
+
+        ctx.remote["deqa"] = remote_lib.deqa_score_client(
+            os.environ.get("DEQA_URL", remote_lib.DEQA_URL))
+    if "unifiedreward" in reward_names:
+        from adv_grpo_tpu.rewards import remote as remote_lib
+
+        url = os.environ.get("UNIFIEDREWARD_URL",
+                             remote_lib.UNIFIEDREWARD_SGLANG_URL)
+        # /v1 endpoints speak the OpenAI-compatible sglang protocol; anything
+        # else gets the pickle protocol (reference has both, rewards.py:884,942)
+        if url.rstrip("/").endswith("/v1"):
+            ctx.remote["unifiedreward"] = \
+                remote_lib.unifiedreward_sglang_client(url)
+        else:
+            ctx.remote["unifiedreward"] = \
+                remote_lib.unifiedreward_remote_client(url)
+    if "qwenvl" in reward_names:
+        from adv_grpo_tpu.rewards.vlm import QwenVLScorer
+
+        judge = QwenVLScorer(model_dir=os.environ.get("QWENVL_MODEL_DIR"))
+        ctx.remote["qwenvl"] = lambda imgs, prompts, meta=None: judge(imgs,
+                                                                      prompts)
+    if "imagereward" in reward_names:
+        from adv_grpo_tpu.rewards.vlm import ImageRewardScorer
+
+        ir = ImageRewardScorer(model_path=os.environ.get("IMAGEREWARD_PATH"))
+        ctx.remote["imagereward"] = lambda imgs, prompts, meta=None: ir(
+            imgs, prompts)
     return ctx

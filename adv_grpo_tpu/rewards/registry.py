@@ -43,6 +43,8 @@ class RewardContext:
     siglip_head_params: Optional[Any] = None
     tokenize: Optional[Callable[[List[str]], np.ndarray]] = None  # CLIP 77-tok
     ocr: Optional[Any] = None  # OcrScorer
+    stylegan: Optional[Any] = None  # StyleGANScorer ('discriminator' reward)
+    stylegan_params: Optional[Any] = None
     remote: Dict[str, Callable] = dataclasses.field(default_factory=dict)
     rng: Optional[Any] = None  # jax PRNG key for patch sampling
 
@@ -153,7 +155,24 @@ def multi_score(score_dict: Dict[str, float], ctx: RewardContext):
             return images_u8
 
         for name, weight in score_dict.items():
-            if name in DEVICE:
+            if name == "geneval":
+                # GenEval returns per-sample scores PLUS accuracy
+                # decompositions that are surfaced into score_details
+                # (reference rewards.py:1048-1054; only_strict skips the
+                # non-strict pass during training, :1042)
+                fn = _require(ctx.remote.get(name), name,
+                              f"remote['{name}'] client")
+                scores, rewards_g, strict, group_r, group_s = fn(
+                    u8(), prompts, metadata or [{}] * len(prompts),
+                    only_strict)
+                score_details["accuracy"] = np.asarray(rewards_g, np.float64)
+                score_details["strict_accuracy"] = np.asarray(strict,
+                                                              np.float64)
+                for key, value in group_s.items():
+                    score_details[f"{key}_strict_accuracy"] = value
+                for key, value in group_r.items():
+                    score_details[f"{key}_accuracy"] = value
+            elif name in DEVICE:
                 scores = _device_scores(name, images, prompts, metadata, ref_images)
             elif name == "jpeg_compressibility":
                 from adv_grpo_tpu.rewards.host import jpeg_compressibility
@@ -164,6 +183,11 @@ def multi_score(score_dict: Dict[str, float], ctx: RewardContext):
             elif name in ("ocr", "video_ocr"):
                 scorer = _require(ctx.ocr, name, "ocr scorer")
                 scores = scorer(u8(), prompts)
+            elif name == "discriminator" and ctx.stylegan is not None:
+                # on-device StyleGAN D reward: sigmoid(D(images))
+                # (reference rewards.py:611-638; remote hook as fallback)
+                scores = np.asarray(ctx.stylegan.score(
+                    ctx.stylegan_params, images))
             else:  # remote judges
                 fn = ctx.remote.get(name)
                 scores = _require(fn, name, f"remote['{name}'] client")(

@@ -14,14 +14,28 @@ from typing import List, Optional
 
 import numpy as np
 
-# The grading rubric prompt (reference adv_grpo/qwenvl.py:40-58 semantics:
-# 5-point aesthetic/quality scale, answer wrapped in <Score></Score>).
-QWENVL_RUBRIC = (
-    "You are an expert image critic. Rate the overall quality of this image "
-    "for the prompt \"{prompt}\" on a scale of 1 to 5, considering fidelity, "
-    "aesthetics, and prompt alignment. Respond with the score wrapped as "
-    "<Score>X</Score>."
-)
+# The grading rubric, VERBATIM from the reference (adv_grpo/qwenvl.py:40-58):
+# a pure-aesthetic 5-point scale judged from the image alone (the text prompt
+# is NOT shown to the judge), answer wrapped in <Score></Score>.
+QWENVL_RUBRIC = """
+Your role is to evaluate the aesthetic quality score of given images.
+1. Bad: Extremely blurry, underexposed with significant noise, indiscernible
+subjects, and chaotic composition.
+2. Poor: Noticeable blur, poor lighting, washed-out colors, and awkward
+composition with cut-off subjects.
+3. Fair: In focus with adequate lighting, dull colors, decent composition but
+lacks creativity.
+4. Good: Sharp, good exposure, vibrant colors, thoughtful composition with
+a clear focal point.
+5. Excellent: Exceptional clarity, perfect exposure, rich colors, masterful
+composition with emotional impact.
+
+Please first provide a detailed analysis of the evaluation process, including the criteria for judging aesthetic quality, within the <Thought> tag. Then, give a final score from 1 to 5 within the <Score> tag.
+<Thought>
+[Analyze the evaluation process in detail here]
+</Thought>
+<Score>X</Score>
+"""
 
 
 def extract_qwenvl_score(text: str, scale: float = 5.0) -> float:
@@ -57,9 +71,10 @@ class QwenVLScorer:
 
             texts = []
             for arr, prompt in zip(images_u8, prompts):
+                del prompt  # the reference judge grades the image alone
                 messages = [{"role": "user", "content": [
                     {"type": "image"},
-                    {"type": "text", "text": QWENVL_RUBRIC.format(prompt=prompt)},
+                    {"type": "text", "text": QWENVL_RUBRIC},
                 ]}]
                 chat = processor.apply_chat_template(messages,
                                                      add_generation_prompt=True)
