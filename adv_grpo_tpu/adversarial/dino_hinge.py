@@ -53,3 +53,37 @@ def dino_hinge_loss(head_apply, head_params, tokens_real, tokens_fake, key,
     acc = 0.5 * (jnp.mean((logit_r > 0).astype(jnp.float32))
                  + jnp.mean((logit_f < 0).astype(jnp.float32)))
     return DinoDStepResult(loss, image_loss, patch_loss, acc)
+
+
+def dino_multi_hinge_loss(head_apply, fusion_apply, multi_params,
+                          layer_tokens_real, layer_tokens_fake,
+                          topk_tau: float = 0.2) -> DinoDStepResult:
+    """Hinge D-loss through the dino_multi scoring topology: per-layer patch
+    logits -> in-layer top-k pooling -> linear fusion -> +/-1 hinge on
+    real/fake. Trains heads AND fusion jointly so the D-step optimises exactly
+    the quantity the reward reads (reference scorer contract
+    adv_grpo/rewards.py:437-559; the reference ships no multi D-step — this is
+    the hinge analogue of its single-head train_dino,
+    train_sd3_fast_dino_patch.py:156-232).
+
+    layer_tokens_*: list of (B, 1+N, D) frozen per-layer token stacks, one per
+    configured layer id, in layer order (matching multi_params['heads']).
+    """
+
+    def fused_logit(tokens_list):
+        pooled_layers = []
+        for head_params, tokens in zip(multi_params["heads"], tokens_list):
+            patch = tokens[:, 1:]
+            logits = head_apply(head_params, patch)  # (B, N)
+            k = max(1, int(patch.shape[1] * topk_tau))
+            pooled_layers.append(jnp.mean(jax.lax.top_k(logits, k)[0], axis=1))
+        stacked = jnp.stack(pooled_layers, axis=1)  # (B, T)
+        return fusion_apply(multi_params["fusion"], stacked)  # (B,)
+
+    logit_r = fused_logit(layer_tokens_real)
+    logit_f = fused_logit(layer_tokens_fake)
+    loss = 0.5 * (jnp.mean(jax.nn.relu(1.0 - logit_r))
+                  + jnp.mean(jax.nn.relu(1.0 + logit_f)))
+    acc = 0.5 * (jnp.mean((logit_r > 0).astype(jnp.float32))
+                 + jnp.mean((logit_f < 0).astype(jnp.float32)))
+    return DinoDStepResult(loss, loss, jnp.zeros_like(loss), acc)

@@ -243,7 +243,8 @@ def build_reward_context(config, reward_names):
                 return np.full((len(prompts), max_len), 3, np.int32)
         ctx.tokenize = tokenize
     if reward_names & {"image_similarity", "image_similarity_eval",
-                       "dino_cotrain", "dino_patch_cotrain"}:
+                       "dino_cotrain", "dino_patch_cotrain",
+                       "dino_multi_cotrain"}:
         if smoke:
             from adv_grpo_tpu.models.vit import ViTConfig
 
@@ -258,6 +259,15 @@ def build_reward_context(config, reward_names):
         ctx.dino_backbone_params = dino.init_backbone(key)
         ctx.dino_head_params = dino.init_head(key)
         ctx.rng = _jax.random.PRNGKey(int(config.seed) + 2)
+        if "dino_multi_cotrain" in reward_names:
+            from adv_grpo_tpu.rewards.scorers import DINOMultiScorer
+
+            layer_ids = tuple(config.get("dino_multi_layer_ids", None)
+                              or ((1,) if smoke else (8,)))
+            ctx.dino_multi = DINOMultiScorer(
+                dino, layer_ids=layer_ids,
+                temperature=float(config.get("temperature", 0.2)))
+            ctx.dino_multi_params = ctx.dino_multi.init_heads(key)
     if reward_names & {"ocr", "video_ocr"}:
         from adv_grpo_tpu.rewards.host import OcrScorer
 

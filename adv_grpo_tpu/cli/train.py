@@ -33,7 +33,9 @@ def build_trainer(config, latent_hw=None, dataset=None):
     )
     from adv_grpo_tpu.rewards.registry import multi_score
     from adv_grpo_tpu.train.driver import DiscriminatorBundle, GRPOTrainer
-    from adv_grpo_tpu.train.grpo_trainer import make_dino_d_step, make_pickscore_d_step
+    from adv_grpo_tpu.train.grpo_trainer import (
+        make_dino_d_step, make_dino_multi_d_step, make_pickscore_d_step,
+    )
 
     pipeline = build_pipeline(config, latent_hw=latent_hw)
     encode = build_text_encoder(config, pipeline)
@@ -67,6 +69,12 @@ def build_trainer(config, latent_hw=None, dataset=None):
             step_fn, opt_state = make(ctx.pickscore_params)
             disc = DiscriminatorBundle("pickscore", step_fn, opt_state,
                                        ctx.pickscore_params, tokenize=ctx.tokenize)
+        elif disc_kind == "dino_multi":
+            make = make_dino_multi_d_step(ctx.dino_multi, float(config.d_lr))
+            step_fn, opt_state = make(ctx.dino_multi_params)
+            disc = DiscriminatorBundle("dino_multi", step_fn, opt_state,
+                                       ctx.dino_multi_params,
+                                       backbone_params=ctx.dino_backbone_params)
         else:
             make = make_dino_d_step(ctx.dino, float(config.d_lr))
             step_fn, opt_state = make(ctx.dino_head_params)

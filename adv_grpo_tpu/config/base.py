@@ -75,10 +75,14 @@ def get_config() -> ml_collections.ConfigDict:
     config.per_prompt_stat_tracking = True
 
     # adversarial reward co-training
-    config.discriminator = ""  # "pickscore" | "dino" | "dino_patch"
+    config.discriminator = ""  # "pickscore" | "dino" | "dino_patch" | "dino_multi"
     config.d_times = 10
     config.d_lr = 1e-4
     config.tune_layer = -1  # unfreeze last |tune_layer| ViT blocks of the scorer
+    # dino_multi: backbone layers feeding per-layer heads + sigmoid temperature
+    # (reference config/grpo.py:219-220 tune_layer=(11,), temperature=2)
+    config.dino_multi_layer_ids = ml_collections.config_dict.placeholder(tuple)
+    config.temperature = 0.2
     config.train_d = False
     config.weight_path = ml_collections.config_dict.placeholder(str)
     config.limit = ml_collections.config_dict.placeholder(int)

@@ -116,6 +116,38 @@ def dino_cotrain_sd3_patch_fast(replica_count=8):
     return config
 
 
+def dino_cotrain_sd3_multi_fast(replica_count=8):
+    """Multi-layer DINO heads+fusion co-training
+    (reference config/grpo.py:176-246)."""
+    config = _sd3_fast_common(compressibility(), replica_count)
+    config.sample.num_image_per_prompt = 8  # k = 1 (ref :194-195)
+    config.sample.mini_num_image_per_prompt = 8
+    config.sample.num_batches_per_epoch = int(
+        48 / (replica_count * config.sample.mini_num_image_per_prompt
+              / config.sample.num_image_per_prompt))
+    config.train.batch_size = config.sample.mini_num_image_per_prompt
+    config.train.gradient_accumulation_steps = \
+        config.sample.num_batches_per_epoch // 2
+    config.sample.random_timestep = 0
+    config.discriminator = "dino_multi"
+    config.d_times = 10
+    config.d_lr = 1e-4
+    config.tune_layer = -1
+    config.dino_multi_layer_ids = (11,)  # ref tune_layer=(11,) (:219)
+    config.temperature = 2.0
+    config.train_d = True
+    config.json_path = "data/reference_images/prompt2img_merged_pickscore.json"
+    config.reference_image_path = "data/reference_images/qwen_images_pickscore"
+    config.test_reference_image_path = \
+        "data/reference_images/qwen_images_pickscore_test"
+    config.case_name = "fast_dino_cotrain_16_8_multi_image_loss"
+    config.save_dir = "logs/dino/sd3.5-M-fast_dino_multi_cotrain"
+    config.reward_fn = {"dino_multi_cotrain": 1}
+    config.eval_reward_fn = {"pickscore": 1, "image_similarity": 1}
+    config.prompt_fn = "general_ocr"
+    return config
+
+
 def smoke_sd3_fast(replica_count=1):
     """Explicit random-init smoke preset: tiny model, 2 sampling batches, no
     reference weights — the ONLY sanctioned weightless training config (real
@@ -163,6 +195,7 @@ _PRESETS = {
     "pickscore_cotrain_sd3_fast": pickscore_cotrain_sd3_fast,
     "dino_cotrain_sd3_fast": dino_cotrain_sd3_fast,
     "dino_cotrain_sd3_patch_fast": dino_cotrain_sd3_patch_fast,
+    "dino_cotrain_sd3_multi_fast": dino_cotrain_sd3_multi_fast,
     "smoke_sd3_fast": smoke_sd3_fast,
     "eval_sd3_fast": eval_sd3_fast,
 }

@@ -346,11 +346,14 @@ class DINOMultiScorer:
     block outputs, top-k patch-logit pooling, linear fusion, sigmoid calibration
     (reference adv_grpo/rewards.py:437-559 dino_multi_cotrain_score)."""
 
-    def __init__(self, dino: "DINOScorer", layer_ids=(8,), head_hidden=512):
+    def __init__(self, dino: "DINOScorer", layer_ids=(8,), head_hidden=512,
+                 topk_tau: float = 0.2, temperature: float = 0.2):
         import flax.linen as nn
 
         self.dino = dino
         self.layer_ids = tuple(layer_ids)
+        self.topk_tau = float(topk_tau)
+        self.temperature = float(temperature)  # preset config.temperature
 
         class Fusion(nn.Module):
             @nn.compact
@@ -371,8 +374,10 @@ class DINOMultiScorer:
             keys[-1], jnp.zeros((1, len(self.layer_ids))))["params"]
         return {"heads": heads, "fusion": fusion}
 
-    def score(self, backbone_params, multi_params, images, *, topk_tau=0.2,
-              temperature=0.2, apply_sigmoid=True):
+    def score(self, backbone_params, multi_params, images, *, topk_tau=None,
+              temperature=None, apply_sigmoid=True):
+        topk_tau = self.topk_tau if topk_tau is None else topk_tau
+        temperature = self.temperature if temperature is None else temperature
         pix = self.dino.preprocess(images)
         out = self.dino.vision.apply({"params": backbone_params}, pix,
                                      capture_layers=self.layer_ids)

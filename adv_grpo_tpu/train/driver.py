@@ -351,6 +351,8 @@ class GRPOTrainer:
         if self.reward_ctx is not None:
             if d.kind == "pickscore":
                 self.reward_ctx.pickscore_params = d.params
+            elif d.kind == "dino_multi":
+                self.reward_ctx.dino_multi_params = d.params
             else:
                 self.reward_ctx.dino_head_params = d.params
         return out

@@ -271,6 +271,53 @@ def make_dino_d_step(dino, d_lr: float, n_patches: int = 64,
     return make
 
 
+def make_dino_multi_d_step(dino_multi, d_lr: float):
+    """Multi-layer DINO D-step: trains {per-layer heads, fusion} jointly with
+    the top-k pooled hinge (adversarial.dino_hinge.dino_multi_hinge_loss),
+    Adam(d_lr, betas (0.5, 0.999)), frozen backbone. Step signature matches
+    the single-head D-step so the trainer's d_phase drives it unchanged."""
+    import optax
+    from adv_grpo_tpu.adversarial.dino_hinge import dino_multi_hinge_loss
+
+    tx = optax.adam(d_lr, b1=0.5, b2=0.999)
+    layer_ids = dino_multi.layer_ids
+    dino = dino_multi.dino
+
+    def make(multi_params):
+        opt_state = tx.init(multi_params)
+
+        @jax.jit
+        def step(multi_params, opt_state, backbone_params, images_real,
+                 images_fake, key):
+            del key  # top-k pooling is deterministic (no patch sampling)
+
+            def layer_tokens(images):
+                pix = dino.preprocess(images)
+                out = dino.vision.apply({"params": backbone_params}, pix,
+                                        capture_layers=layer_ids)
+                return [jax.lax.stop_gradient(out["layer_tokens"][lid])
+                        for lid in layer_ids]
+
+            toks_r, toks_f = layer_tokens(images_real), layer_tokens(images_fake)
+
+            def loss_fn(mp):
+                out = dino_multi_hinge_loss(
+                    lambda p, x: dino.head.apply({"params": p}, x),
+                    lambda p, x: dino_multi.fusion.apply({"params": p}, x),
+                    mp, toks_r, toks_f)
+                return out.loss, out.accuracy
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                multi_params)
+            updates, opt_state = tx.update(grads, opt_state, multi_params)
+            multi_params = optax.apply_updates(multi_params, updates)
+            return multi_params, opt_state, loss, acc
+
+        return step, opt_state
+
+    return make
+
+
 # ───────────────────────── host-side epoch orchestration ─────────────────────
 
 

@@ -193,3 +193,102 @@ class TestRegistry:
         assert sims.shape == (2,)
         # an identical reference is among the refs -> max similarity == 1
         np.testing.assert_allclose(np.asarray(sims), 1.0, atol=1e-4)
+
+
+class TestDinoMultiDStep:
+    def test_heads_and_fusion_train(self):
+        """The multi-layer D-step moves BOTH heads and fusion and improves the
+        hinge on a separable real/fake distribution."""
+        import jax
+        import jax.numpy as jnp
+
+        from adv_grpo_tpu.models.vit import ViTConfig
+        from adv_grpo_tpu.rewards.scorers import DINOMultiScorer, DINOScorer
+        from adv_grpo_tpu.train.grpo_trainer import make_dino_multi_d_step
+
+        dino = DINOScorer(ViTConfig.dinov2_base(
+            image_size=28, num_layers=2, hidden_size=32,
+            intermediate_size=64, num_heads=2), image_size=28)
+        multi = DINOMultiScorer(dino, layer_ids=(0, 1))
+        key = jax.random.PRNGKey(0)
+        backbone = dino.init_backbone(key)
+        params = multi.init_heads(key)
+
+        make = make_dino_multi_d_step(multi, d_lr=1e-2)
+        step, opt_state = make(params)
+
+        real = jnp.full((4, 3, 28, 28), 0.5) + 0.1 * jax.random.normal(
+            key, (4, 3, 28, 28))
+        fake = jnp.full((4, 3, 28, 28), -0.5) + 0.1 * jax.random.normal(
+            jax.random.fold_in(key, 1), (4, 3, 28, 28))
+
+        losses = []
+        p = params
+        for i in range(8):
+            p, opt_state, loss, acc = step(p, opt_state, backbone, real, fake,
+                                           jax.random.fold_in(key, i))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        # heads AND fusion kernels moved (biases can have zero hinge grad at
+        # the symmetric init: the real/fake relu terms cancel exactly)
+        assert float(jnp.max(jnp.abs(
+            params["fusion"]["fuse"]["kernel"]
+            - p["fusion"]["fuse"]["kernel"]))) > 0
+        for h0, h1 in zip(params["heads"], p["heads"]):
+            assert float(jnp.max(jnp.abs(
+                h0["fc1"]["kernel"] - h1["fc1"]["kernel"]))) > 0
+        # the co-trained reward reflects the new params
+        s_real = np.asarray(multi.score(backbone, p, real))
+        s_fake = np.asarray(multi.score(backbone, p, fake))
+        assert s_real.mean() > s_fake.mean()
+
+    def test_trainer_gate_drives_multi(self):
+        """dino_multi rides the periodic D-gate like dino_patch."""
+        import jax.numpy as jnp
+
+        calls = []
+
+        def fake_step(params, opt, backbone, real, fake, key):
+            calls.append(1)
+            return params, opt, jnp.float32(0.5), jnp.float32(0.9)
+
+        import types
+
+        from tests.test_trainer_e2e import (
+            make_trainer, tiny_config, _ToyDataset,  # noqa: F401
+        )
+        import tests.test_trainer_e2e as e2e
+        from adv_grpo_tpu.train.driver import DiscriminatorBundle
+
+        cfg = e2e.tiny_config()
+        cfg.train_d = True
+        cfg.discriminator = "dino_multi"
+        cfg.d_times = 2
+        disc = DiscriminatorBundle(kind="dino_multi", step_fn=fake_step,
+                                   opt_state=None, params={"w": jnp.zeros(())},
+                                   backbone_params={})
+
+        class RefStore:
+            def get_batch(self, prompts, rng=None):
+                return np.zeros((len(prompts), 1, 3, 16, 16), np.float32)
+
+        import jax
+
+        from adv_grpo_tpu.models.mmdit import MMDiTConfig
+        from adv_grpo_tpu.models.vae import VAEConfig
+        from adv_grpo_tpu.train.pipeline import SD3Pipeline
+
+        pipe = SD3Pipeline.random_init(
+            jax.random.PRNGKey(0),
+            MMDiTConfig.tiny(num_layers=2, dual_attention_layers=(0,),
+                             lora_rank=4, lora_alpha=8.0),
+            VAEConfig.tiny(latent_channels=16), latent_hw=8, text_seq_len=6)
+        ctx = types.SimpleNamespace(pickscore_params=None,
+                                    dino_head_params=None,
+                                    dino_multi_params=None)
+        trainer = e2e.make_trainer(pipe, cfg, discriminator=disc,
+                                   reference_store=RefStore(), reward_ctx=ctx)
+        trainer.run(max_epochs=2)
+        # epoch 0: (0+1)%2 != 0 -> D; epoch 1: (1+1)%2 == 0 -> G
+        assert len(calls) == cfg.sample.num_batches_per_epoch
+        assert ctx.dino_multi_params is disc.params  # live reward params
