@@ -50,7 +50,7 @@ class SigLIPVisionConfig:
             image_size=self.image_size, patch_size=self.patch_size,
             hidden_size=self.hidden_size, intermediate_size=self.intermediate_size,
             num_layers=self.num_layers, num_heads=self.num_heads,
-            layer_norm_eps=self.layer_norm_eps, hidden_act="gelu",
+            layer_norm_eps=self.layer_norm_eps, hidden_act="gelu_pytorch_tanh",
             use_pre_ln=False, projection_dim=None, dtype=self.dtype)
 
 
@@ -81,7 +81,7 @@ class MAPHead(nn.Module):
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype,
                          param_dtype=jnp.float32, name="layernorm")(o)
         h = dense(c.intermediate_size, "fc1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=True)  # HF gelu_pytorch_tanh
         h = dense(D, "fc2")(h)
         return (o + h)[:, 0]
 

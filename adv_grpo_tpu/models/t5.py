@@ -32,10 +32,19 @@ class T5Config:
     relative_attention_max_distance: int = 128
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
+    # UMT5 (WAN's text encoder, HF UMT5EncoderModel): every layer owns its
+    # relative-attention-bias table; T5 v1.1 shares layer 0's across all.
+    per_layer_rel_bias: bool = False
 
     @classmethod
     def xxl(cls, **o):
         return cls(**o)
+
+    @classmethod
+    def umt5_xxl(cls, **o):
+        d = dict(vocab_size=256384, per_layer_rel_bias=True)
+        d.update(o)
+        return cls(**d)
 
     @classmethod
     def tiny(cls, **o):
@@ -78,8 +87,14 @@ class T5Block(nn.Module):
     cfg: T5Config
 
     @nn.compact
-    def __call__(self, x, pos_bias, attn_mask):
+    def __call__(self, x, pos_bias, attn_mask, buckets=None):
         c = self.cfg
+        if c.per_layer_rel_bias:
+            # UMT5: a fresh bias table in every block (HF UMT5Attention)
+            rel_emb = self.param(
+                "relative_attention_bias", nn.initializers.normal(1.0),
+                (c.relative_attention_num_buckets, c.num_heads), jnp.float32)
+            pos_bias = rel_emb[jnp.asarray(buckets)].transpose(2, 0, 1)[None]
         inner = c.num_heads * c.d_kv
         h = T5LayerNorm(c.d_model, c.layer_norm_eps, c.dtype, name="ln_attn")(x)
         B, S, _ = h.shape
@@ -113,19 +128,23 @@ class T5Encoder(nn.Module):
         B, S = input_ids.shape
         x = nn.Embed(c.vocab_size, c.d_model, dtype=c.dtype,
                      param_dtype=jnp.float32, name="token_embedding")(input_ids)
-        # shared relative position bias (layer 0's table)
-        rel_emb = self.param(
-            "relative_attention_bias", nn.initializers.normal(1.0),
-            (c.relative_attention_num_buckets, c.num_heads), jnp.float32,
-        )
         ctx = np.arange(S)
         buckets = t5_relative_position_bucket(
             ctx[None, :] - ctx[:, None],
             c.relative_attention_num_buckets, c.relative_attention_max_distance,
         )
-        pos_bias = rel_emb[jnp.asarray(buckets)].transpose(2, 0, 1)[None]  # (1,H,S,S)
+        if c.per_layer_rel_bias:
+            pos_bias = None  # each block builds its own (UMT5)
+        else:
+            # shared relative position bias (layer 0's table, T5 v1.1)
+            rel_emb = self.param(
+                "relative_attention_bias", nn.initializers.normal(1.0),
+                (c.relative_attention_num_buckets, c.num_heads), jnp.float32,
+            )
+            pos_bias = rel_emb[jnp.asarray(buckets)].transpose(2, 0, 1)[None]
         for i in range(c.num_layers):
-            x = T5Block(c, name=f"block_{i}")(x, pos_bias, attention_mask)
+            x = T5Block(c, name=f"block_{i}")(x, pos_bias, attention_mask,
+                                              buckets=buckets)
         x = T5LayerNorm(c.d_model, c.layer_norm_eps, c.dtype, name="final_ln")(x)
         return x
 

@@ -72,6 +72,8 @@ class ViTConfig:
 def _act(name):
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    if name == "gelu_pytorch_tanh":  # SigLIP (HF gelu_pytorch_tanh)
+        return lambda x: nn.gelu(x, approximate=True)
     return lambda x: nn.gelu(x, approximate=False)
 
 

@@ -42,6 +42,7 @@ class WanConfig:
     text_dim: int = 4096
     ffn_dim: int = 8960
     rope_axes_dims: Tuple[int, ...] = (44, 42, 42)  # sums to head_dim
+    cross_attn_norm: bool = True  # WAN norm2 is an AFFINE fp32 LayerNorm
     dtype: Any = jnp.bfloat16
     remat: bool = True
     attention_backend: Optional[str] = None
@@ -106,8 +107,15 @@ class WanBlock(nn.Module):
         att = att[:, :, :S].transpose(0, 2, 1, 3).reshape(B, S, dim)
         x = x + gate_sa[:, None] * dense("to_out")(att)
 
-        # cross-attention to text (no modulation, plain LN — WAN norm2)
+        # cross-attention to text (no time modulation; WAN norm2 is an
+        # affine LayerNorm when cross_attn_norm, diffusers WanTransformerBlock)
         hq = _layer_norm(x, c.dtype)
+        if c.cross_attn_norm:
+            n2w = self.param("norm2_weight", nn.initializers.ones, (dim,),
+                             jnp.float32)
+            n2b = self.param("norm2_bias", nn.initializers.zeros, (dim,),
+                             jnp.float32)
+            hq = hq * n2w.astype(c.dtype) + n2b.astype(c.dtype)
         St = text.shape[1]
         q = RMSNorm(d, dtype=c.dtype, name="cross_norm_q")(
             dense("cross_to_q")(hq).reshape(B, S, H, d)).transpose(0, 2, 1, 3)
@@ -178,10 +186,12 @@ class WanTransformer(nn.Module):
         for i in range(c.num_layers):
             x = block(c, name=f"block_{i}")(x, text, temb6, cos, sin)
 
+        # output modulation: (table + t_emb) chunked into shift/scale —
+        # diffusers WanTransformer3DModel adds the TIME embedding to both rows
         table = self.param("scale_shift_table_out", nn.initializers.normal(0.02),
                            (2, dim), jnp.float32)
-        shift = table[0][None].astype(c.dtype) + temb6[0] * 0  # time-independent
-        scale = table[1][None].astype(c.dtype)
+        shift = table[0][None].astype(c.dtype) + t_emb
+        scale = table[1][None].astype(c.dtype) + t_emb
         x = _layer_norm(x, c.dtype) * (1 + scale[:, None]) + shift[:, None]
         x = nn.Dense(pt * ph * pw * c.out_channels, dtype=c.dtype,
                      param_dtype=jnp.float32, name="proj_out")(x)

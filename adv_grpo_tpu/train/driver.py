@@ -399,8 +399,17 @@ class GRPOTrainer:
             if max_epochs is not None and self.epoch >= max_epochs:
                 break
             if eval_prompts and self.epoch % int(cfg.eval_freq) == 0 and self.epoch > 0:
-                _, eval_metrics = self.eval_phase(eval_prompts)
+                eval_images, eval_metrics = self.eval_phase(eval_prompts)
                 self.logger.log(eval_metrics, step=int(self.state.global_step))
+                # eval image grid + captioned wandb images (reference eval()
+                # observability, train_sd3_fast_pickscore.py:352-380)
+                from adv_grpo_tpu.native.lib import images_to_uint8
+
+                self.logger.log_image_grid(
+                    "eval_images",
+                    images_to_uint8(np.asarray(eval_images, np.float32)),
+                    captions=eval_prompts, step=int(self.state.global_step),
+                    save_dir=str(cfg.save_dir))
             if cfg.save_dir and self.epoch % int(cfg.save_freq) == 0 and self.epoch > 0:
                 self.save()
 
@@ -449,23 +458,17 @@ class GRPOTrainer:
         return self.state
 
     def _save_sample_grid(self, samples):
-        """Sample-image grid JPEG every 10 epochs (reference wandb grid,
+        """Sample-image grid every 10 epochs (reference wandb grid,
         train_sd3_fast_pickscore.py:869-924)."""
         try:
-            from PIL import Image
-
             from adv_grpo_tpu.native.lib import images_to_uint8
 
-            imgs = images_to_uint8(
-                np.asarray(samples["last_images"], np.float32)[:8])
-            n, h, w, _ = imgs.shape
-            grid = imgs.transpose(1, 0, 2, 3).reshape(h, n * w, 3)
-            import os
-
-            os.makedirs(str(self.config.save_dir), exist_ok=True)
-            Image.fromarray(grid).save(
-                os.path.join(str(self.config.save_dir),
-                             f"samples_epoch{self.epoch:05d}.jpg"), quality=90)
+            self.logger.log_image_grid(
+                "samples_epoch",
+                images_to_uint8(np.asarray(samples["last_images"],
+                                           np.float32)[:8]),
+                captions=samples["last_prompts"], step=self.epoch,
+                save_dir=str(self.config.save_dir))
         except Exception:
             pass  # grid saving is best-effort observability
 

@@ -62,6 +62,39 @@ class MetricLogger:
             self._wandb.log({k: v for k, v in record.items()
                              if isinstance(v, (int, float))}, step=step)
 
+    def log_image_grid(self, name: str, images_u8, captions=None,
+                       step: Optional[int] = None, save_dir: str = ""):
+        """Image-grid observability: a horizontal JPEG strip on disk and, when
+        live, individual captioned wandb.Images (the reference's eval/train
+        grids, train_sd3_fast_pickscore.py:352-380, :869-924)."""
+        if not self.is_main or len(images_u8) == 0:
+            return None
+        import numpy as np
+
+        imgs = np.asarray(images_u8)[:8]
+        path = None
+        out_dir = save_dir or (os.path.dirname(self.path) if self.path else "")
+        if out_dir:
+            try:
+                from PIL import Image
+
+                n, h, w, _ = imgs.shape
+                grid = imgs.transpose(1, 0, 2, 3).reshape(h, n * w, 3)
+                os.makedirs(out_dir, exist_ok=True)
+                path = os.path.join(out_dir, f"{name}_{step or 0:05d}.jpg")
+                Image.fromarray(grid).save(path, quality=90)
+            except Exception:
+                path = None  # grid saving is best-effort observability
+        if self._wandb is not None:
+            try:
+                wb = [self._wandb.Image(
+                    img, caption=None if captions is None else str(captions[i]))
+                    for i, img in enumerate(imgs)]
+                self._wandb.log({name: wb}, step=step)
+            except Exception:
+                pass
+        return path
+
 
 class StepTimer:
     """Per-phase wall-clock accumulation: timer('rollout'), timer('reward')..."""

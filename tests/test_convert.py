@@ -212,3 +212,76 @@ class TestFluxConverter:
                           make_latent_ids(4, 4), np.zeros((3, 3), np.int32))
         assert out.shape == (1, S, cfg.in_channels)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestUMT5Parity:
+    def test_umt5_encoder_matches_hf(self):
+        """UMT5 = per-layer relative bias (WAN's text encoder); activation
+        parity vs transformers.UMT5EncoderModel with random weights."""
+        torch.manual_seed(0)
+        hf_cfg = transformers.UMT5Config(
+            vocab_size=101, d_model=32, d_kv=8, d_ff=48, num_layers=2,
+            num_heads=4, relative_attention_num_buckets=8,
+            relative_attention_max_distance=20, feed_forward_proj="gated-gelu",
+            dropout_rate=0.0, is_encoder_decoder=False)
+        torch_model = transformers.UMT5EncoderModel(hf_cfg).eval()
+        ids = torch.tensor([[3, 4, 5, 6, 1, 0, 0, 0], [7, 8, 1, 0, 0, 0, 0, 0]])
+        mask = (ids != 0).long()
+        with torch.no_grad():
+            out = torch_model(ids, attention_mask=mask).last_hidden_state
+
+        cfg = T5Config(vocab_size=101, d_model=32, d_kv=8, d_ff=48,
+                       num_layers=2, num_heads=4,
+                       relative_attention_num_buckets=8,
+                       relative_attention_max_distance=20,
+                       per_layer_rel_bias=True, dtype=jnp.float32)
+        params = convert.convert_umt5_encoder(_sd_numpy(torch_model), 2)
+        model = T5Encoder(cfg)
+        got = model.apply({"params": params}, jnp.asarray(ids.numpy()),
+                          jnp.asarray(mask.numpy().astype(bool)))
+        np.testing.assert_allclose(np.asarray(got)[0, :5], out.numpy()[0, :5],
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got)[1, :3], out.numpy()[1, :3],
+                                   atol=1e-4)
+
+    def test_shared_bias_t5_rejects_umt5_state(self):
+        """Real UMT5 checkpoints must NOT silently convert through the
+        shared-bias T5 path (the per-layer tables would be dropped)."""
+        torch.manual_seed(0)
+        hf_cfg = transformers.UMT5Config(
+            vocab_size=101, d_model=32, d_kv=8, d_ff=48, num_layers=2,
+            num_heads=4, relative_attention_num_buckets=8,
+            dropout_rate=0.0, is_encoder_decoder=False)
+        torch_model = transformers.UMT5EncoderModel(hf_cfg).eval()
+        sd = _sd_numpy(torch_model)
+        p = convert.convert_umt5_encoder(sd, 2)
+        # every layer carries its own table, and they differ
+        b0 = p["block_0"]["relative_attention_bias"]
+        b1 = p["block_1"]["relative_attention_bias"]
+        assert np.abs(b0 - b1).max() > 0
+
+
+class TestSigLIPParity:
+    def test_siglip_vision_matches_hf(self):
+        torch.manual_seed(0)
+        hf_cfg = transformers.SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14,
+            attention_dropout=0.0)
+        torch_model = transformers.SiglipVisionModel(hf_cfg).eval()
+        img = torch.randn(2, 3, 28, 28)
+        with torch.no_grad():
+            out = torch_model(img)
+
+        from adv_grpo_tpu.models.siglip import SigLIPVisionConfig, SigLIPVisionTower
+
+        cfg = SigLIPVisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                                 intermediate_size=64, num_layers=2,
+                                 num_heads=2)
+        params = convert.convert_siglip(_sd_numpy(torch_model), 2)
+        model = SigLIPVisionTower(cfg)
+        got = model.apply({"params": params}, jnp.asarray(img.numpy()))
+        np.testing.assert_allclose(np.asarray(got["tokens"]),
+                                   out.last_hidden_state.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got["pooled"]),
+                                   out.pooler_output.numpy(), atol=1e-4)

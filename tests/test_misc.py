@@ -139,3 +139,21 @@ class TestDatasetLimit:
         assert len(ds) == 3
         full = TextPromptDataset(str(tmp_path), "train")
         assert len(full) == 10
+
+
+class TestImageGridLogging:
+    def test_log_image_grid_writes_jpeg(self, tmp_path):
+        from adv_grpo_tpu.utils.metrics import MetricLogger
+
+        logger = MetricLogger(str(tmp_path), wandb_init=False)
+        imgs = np.random.default_rng(0).integers(
+            0, 255, (4, 8, 8, 3)).astype(np.uint8)
+        path = logger.log_image_grid("eval_images", imgs,
+                                     captions=["a", "b", "c", "d"], step=7)
+        import os
+
+        assert path is not None and os.path.isfile(path)
+        from PIL import Image
+
+        grid = Image.open(path)
+        assert grid.size == (4 * 8, 8)  # horizontal strip
