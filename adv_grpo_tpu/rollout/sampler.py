@@ -160,6 +160,57 @@ def denoise_with_logprob(
     )
 
 
+def denoise_prefix(
+    velocity_fn: Callable,
+    latents: jax.Array,
+    prompt_embeds: jax.Array,
+    pooled_embeds: jax.Array,
+    neg_prompt_embeds: Optional[jax.Array],
+    neg_pooled_embeds: Optional[jax.Array],
+    cfg: SamplerConfig,
+    rt: int,
+) -> jax.Array:
+    """Deterministic schedule prefix: steps [0, rt) at REDUCED batch.
+
+    The reference fast sampler keeps ONE latent per prompt until the
+    stochastic window opens, then repeats it mini_num_image_per_prompt times
+    (sd3_pipeline_with_logprob_fast.py:158-167) — the pre-window trajectory is
+    identical across a group (noise level 0 there), so computing it once per
+    group saves (1 - 1/mini) of the pre-window MMDiT forwards. ``rt`` is
+    STATIC (one compile per distinct window start; there are only
+    num_steps//2 + 1 of them).
+    """
+    if rt == 0:
+        return latents.astype(jnp.float32)
+    sched = flow_match_schedule(cfg.num_steps, shift=cfg.shift,
+                                num_train_timesteps=cfg.num_train_timesteps)
+    sigmas = jnp.asarray(sched.sigmas)
+    timesteps = jnp.asarray(sched.timesteps)
+    B = latents.shape[0]
+
+    if cfg.do_cfg:
+        embeds = jnp.concatenate([neg_prompt_embeds, prompt_embeds], axis=0)
+        pooled = jnp.concatenate([neg_pooled_embeds, pooled_embeds], axis=0)
+    else:
+        embeds, pooled = prompt_embeds, pooled_embeds
+
+    def step(x, i):
+        t = timesteps[i]
+        if cfg.do_cfg:
+            v = velocity_fn(jnp.concatenate([x, x], axis=0),
+                            jnp.full((2 * B,), t), embeds, pooled)
+            v_uncond, v_cond = jnp.split(v, 2, axis=0)
+            v = v_uncond + cfg.guidance_scale * (v_cond - v_uncond)
+        else:
+            v = velocity_fn(x, jnp.full((B,), t), embeds, pooled)
+        out = cps_step_with_logprob(v, x, sigmas[i], sigmas[i + 1], 0.0,
+                                    noise=jnp.zeros_like(x))
+        return out.prev_sample, None
+
+    x, _ = jax.lax.scan(step, latents.astype(jnp.float32), jnp.arange(rt))
+    return x
+
+
 def compute_log_prob(
     velocity_fn: Callable,
     latents_j: jax.Array,

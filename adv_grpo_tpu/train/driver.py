@@ -41,8 +41,8 @@ from jax.sharding import PartitionSpec as P
 from adv_grpo_tpu.rollout.sampler import SamplerConfig
 from adv_grpo_tpu.train import checkpoint as ckpt_lib
 from adv_grpo_tpu.train.grpo_trainer import (
-    compute_advantages, make_eval_fn, make_sample_fn, make_train_epoch_fn,
-    rebatch_for_training,
+    compute_advantages, make_eval_fn, make_sample_fn,
+    make_shared_prefix_sample_fn, make_train_epoch_fn, rebatch_for_training,
 )
 from adv_grpo_tpu.train.train_state import create_generator_state
 from adv_grpo_tpu.utils.metrics import MetricLogger, StepTimer, maybe_profile
@@ -106,9 +106,18 @@ class GRPOTrainer:
         self.k = max(int(s.num_image_per_prompt) // self.mini, 1)
         self.num_batches = int(s.num_batches_per_epoch)
 
-        self.sample_fn = make_sample_fn(pipeline, self.sampler_cfg, latent_hw,
-                                        same_latent=bool(s.same_latent),
-                                        group_size=self.mini)
+        # same_latent: the reference fast sampler's group-shared prefix — one
+        # latent per slot until the window opens (saves (1-1/mini) of the
+        # pre-window forwards). Window start is then global per sampling
+        # batch (static rt). Otherwise: independent latents, per-rank windows.
+        self.shared_prefix = bool(s.same_latent) and self.mini > 1
+        if self.shared_prefix:
+            self.sample_fn = make_shared_prefix_sample_fn(
+                pipeline, self.sampler_cfg, latent_hw, group_size=self.mini)
+        else:
+            self.sample_fn = make_sample_fn(
+                pipeline, self.sampler_cfg, latent_hw,
+                same_latent=bool(s.same_latent), group_size=self.mini)
         self.eval_fn = make_eval_fn(pipeline, self.eval_cfg, latent_hw)
         self.train_epoch_fn = make_train_epoch_fn(
             pipeline, self.sampler_cfg, config.train, beta=float(config.train.beta))
@@ -197,10 +206,16 @@ class GRPOTrainer:
                     0, cfgs.num_steps // 2 + 1, size=self.n_dev)
             else:
                 rts = np.full(self.n_dev, int(cfgs.random_timestep))
-            # one window start per replica, shared by all its images
-            # (reference seeds it per process, sd3_..._fast.py:585-587)
-            per_rank = B // len(local_ranks)
-            rt = np.repeat(rts[local_ranks], per_rank).astype(np.int32)
+            if self.shared_prefix:
+                # shared-prefix mode: ONE window start for the whole batch
+                # (rt is a static compile-time int; <= num_steps//2+1 variants)
+                rt_static = int(rts[0])
+                rt = np.full(B, rt_static, np.int32)
+            else:
+                # one window start per replica, shared by all its images
+                # (reference seeds it per process, sd3_..._fast.py:585-587)
+                per_rank = B // len(local_ranks)
+                rt = np.repeat(rts[local_ranks], per_rank).astype(np.int32)
 
             # shard the batch onto the mesh's data axis (multi-host aware)
             sharded = put_batch(dict(embeds=embeds, pooled=pooled, neg_e=neg_e,
@@ -209,7 +224,7 @@ class GRPOTrainer:
                 rollout, images = self.sample_fn(
                     self.state.lora, self.frozen, sharded["embeds"],
                     sharded["pooled"], sharded["neg_e"], sharded["neg_p"],
-                    key, sharded["rt"])
+                    key, rt_static if self.shared_prefix else sharded["rt"])
 
             refs = None
             if self.reference_store is not None:
@@ -388,7 +403,15 @@ class GRPOTrainer:
         details, _ = self.eval_reward_fn(
             images, eval_prompts, [{}] * len(eval_prompts),
             ref_images=None if refs is None else jnp.asarray(refs))
-        return images, {f"eval_reward_{k}": float(np.mean(v))
+
+        def _mean(v):
+            # -10 is the reference's failure sentinel — filtered out of eval
+            # means (train_sd3_fast_pickscore.py:352-380)
+            a = np.asarray(v, np.float64)
+            ok = a != -10.0
+            return float(np.mean(a[ok])) if ok.any() else -10.0
+
+        return images, {f"eval_reward_{k}": _mean(v)
                         for k, v in details.items()}
 
     # ── main loop ───────────────────────────────────────────────────────

@@ -33,7 +33,8 @@ from adv_grpo_tpu.core.grpo import grpo_loss
 from adv_grpo_tpu.core.stat_tracking import PerPromptStatTracker, calculate_zero_std_ratio
 from adv_grpo_tpu.models.lora import lora_params, merge_lora_params
 from adv_grpo_tpu.rollout.sampler import (
-    SamplerConfig, compute_log_prob, denoise_with_logprob, sample_random_timestep,
+    SamplerConfig, compute_log_prob, denoise_prefix, denoise_with_logprob,
+    sample_random_timestep,
 )
 from adv_grpo_tpu.train.train_state import (
     GeneratorState, apply_microbatch_grads, create_generator_state,
@@ -73,6 +74,40 @@ def make_sample_fn(pipeline, sampler_cfg: SamplerConfig, latent_hw: int,
                 k_lat, (B, C, latent_hw, latent_hw), jnp.float32)
         out = denoise_with_logprob(vfn, lat0, embeds, pooled, neg_embeds,
                                    neg_pooled, k_roll, sampler_cfg, rt)
+        images = pipeline.decode(out.final_latents)
+        return out, images
+
+    return sample
+
+
+def make_shared_prefix_sample_fn(pipeline, sampler_cfg: SamplerConfig,
+                                 latent_hw: int, group_size: int):
+    """same_latent sampling with the reference's group-shared prefix: ONE
+    latent per prompt slot runs the deterministic pre-window steps [0, rt),
+    is repeated across the group at the window start, then the stochastic
+    window + tail run full-batch (sd3_pipeline_with_logprob_fast.py:158-167).
+    Saves (1 - 1/group) of the pre-window MMDiT forwards. ``rt`` is static:
+    at most num_steps//2 + 1 compilations."""
+
+    @functools.partial(jax.jit, static_argnames=("rt",))
+    def sample(lora_flat, frozen_params, embeds, pooled, neg_embeds,
+               neg_pooled, key, rt: int):
+        params = {**frozen_params,
+                  "params": merge_lora_params(frozen_params["params"], lora_flat)}
+        vfn = pipeline.velocity_fn(params)
+        B = embeds.shape[0]
+        Bs = B // group_size
+        C = pipeline.mmdit_cfg.in_channels
+        k_lat, k_roll = jax.random.split(key)
+        lat0 = jax.random.normal(k_lat, (Bs, C, latent_hw, latent_hw),
+                                 jnp.float32)
+        x = denoise_prefix(vfn, lat0, embeds[::group_size],
+                           pooled[::group_size], neg_embeds[::group_size],
+                           neg_pooled[::group_size], sampler_cfg, rt)
+        x = jnp.repeat(x, group_size, axis=0)
+        out = denoise_with_logprob(vfn, x, embeds, pooled, neg_embeds,
+                                   neg_pooled, k_roll, sampler_cfg,
+                                   random_timestep=rt, start_idx=rt)
         images = pipeline.decode(out.final_latents)
         return out, images
 

@@ -177,6 +177,27 @@ def main():
     tflops = flops_rollout / dt_rollout / 1e12
     mfu = flops_rollout / dt_rollout / peak
 
+    # ── shared-prefix rollout (same_latent): pre-window steps at B/mini ──
+    from adv_grpo_tpu.train.grpo_trainer import make_shared_prefix_sample_fn
+
+    mini = 8  # one prompt slot per batch: the production group layout
+    rt_mid = num_steps // 4  # E[window start] over U{0..num_steps//2}
+    sp_fn = make_shared_prefix_sample_fn(pipe, scfg, latent_hw, mini)
+
+    def sp_once(k):
+        out, images = sp_fn(lora, frozen, embeds, pooled, neg_e, neg_p, k,
+                            rt_mid)
+        return float(jnp.sum(images.astype(jnp.float32)))
+
+    sp_once(key)
+    sp_times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        sp_once(jax.random.fold_in(key, 100 + rep))
+        sp_times.append(time.perf_counter() - t0)
+    dt_sp = sorted(sp_times)[1]
+    sp_imgs_per_sec = batch / dt_sp
+
     # ── train microstep: one minibatch x T window steps (fwd+bwd+opt) ──
     train_cfg = ml_collections.ConfigDict(dict(
         learning_rate=3e-4, adam_beta1=0.9, adam_beta2=0.999,
@@ -252,6 +273,8 @@ def main():
         "device_kind": getattr(dev, "device_kind", str(dev)),
         "train_microstep_sec": round(dt_microstep, 3),
         "reward_evals_per_sec": round(reward_evals_per_sec, 2),
+        # same_latent group-shared-prefix rollout at the mean window start
+        "rollout_shared_prefix_img_s": round(sp_imgs_per_sec, 4),
     }))
 
 

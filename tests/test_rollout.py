@@ -175,3 +175,79 @@ class TestSameLatent:
         _, images2 = fn2(lora0, pipe.transformer_params, emb, pooled, emb,
                          pooled, jax.random.PRNGKey(3), rt_off)
         assert float(np.max(np.abs(np.asarray(images2[0] - images2[1])))) > 1e-4
+
+
+class TestSharedPrefixSampler:
+    def _setup(self):
+        from adv_grpo_tpu.models.mmdit import MMDiTConfig
+        from adv_grpo_tpu.models.vae import VAEConfig
+        from adv_grpo_tpu.models.lora import lora_params
+        from adv_grpo_tpu.train.pipeline import SD3Pipeline
+
+        mcfg = MMDiTConfig.tiny(num_layers=1, dual_attention_layers=(),
+                                lora_rank=2, lora_alpha=4.0)
+        pipe = SD3Pipeline.random_init(jax.random.PRNGKey(0), mcfg,
+                                       VAEConfig.tiny(latent_channels=16),
+                                       latent_hw=8, text_seq_len=4)
+        lora0 = lora_params(pipe.transformer_params["params"])
+        B, G = 4, 2
+        emb = jax.random.normal(jax.random.PRNGKey(7),
+                                (B, 4, mcfg.joint_attention_dim)) * 0.1
+        # group members share the slot embedding (driver's repeat layout)
+        emb = emb.at[1].set(emb[0]).at[3].set(emb[2])
+        pooled = jnp.zeros((B, mcfg.pooled_projection_dim))
+        return pipe, lora0, emb, pooled, B, G
+
+    def test_matches_plain_path_when_deterministic(self):
+        """noise_level=0: shared-prefix and plain same_latent paths are the
+        same deterministic map -> identical final latents."""
+        from adv_grpo_tpu.train.grpo_trainer import (
+            make_sample_fn, make_shared_prefix_sample_fn,
+        )
+
+        pipe, lora0, emb, pooled, B, G = self._setup()
+        cfg = SamplerConfig(num_steps=4, train_num_steps=2,
+                            guidance_scale=1.0, noise_level=0.0)
+        rt = 2
+        plain = make_sample_fn(pipe, cfg, 8, same_latent=True, group_size=G)
+        shared = make_shared_prefix_sample_fn(pipe, cfg, 8, group_size=G)
+        key = jax.random.PRNGKey(3)
+        out_p, img_p = plain(lora0, pipe.transformer_params, emb, pooled, emb,
+                             pooled, key, jnp.full((B,), rt, jnp.int32))
+        out_s, img_s = shared(lora0, pipe.transformer_params, emb, pooled,
+                              emb, pooled, key, rt)
+        np.testing.assert_allclose(np.asarray(out_s.final_latents),
+                                   np.asarray(out_p.final_latents),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_s.latents),
+                                   np.asarray(out_p.latents),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_window_replay_identity(self):
+        """Stochastic shared-prefix rollout: the recorded window transitions
+        replay to the same logprobs (THE sampler invariant)."""
+        from adv_grpo_tpu.rollout.sampler import compute_log_prob
+        from adv_grpo_tpu.train.grpo_trainer import make_shared_prefix_sample_fn
+        from adv_grpo_tpu.models.lora import merge_lora_params
+
+        pipe, lora0, emb, pooled, B, G = self._setup()
+        cfg = SamplerConfig(num_steps=4, train_num_steps=2,
+                            guidance_scale=1.0, noise_level=0.7)
+        shared = make_shared_prefix_sample_fn(pipe, cfg, 8, group_size=G)
+        out, _ = shared(lora0, pipe.transformer_params, emb, pooled, emb,
+                        pooled, jax.random.PRNGKey(5), 1)
+        params = {**pipe.transformer_params,
+                  "params": merge_lora_params(
+                      pipe.transformer_params["params"], lora0)}
+        vfn = pipe.velocity_fn(params)
+        for j in range(2):
+            lp, _, _ = compute_log_prob(
+                vfn, out.latents[:, j], out.latents[:, j + 1],
+                out.timesteps[:, j], out.sigmas[:, j], out.sigmas_prev[:, j],
+                emb, pooled, emb, pooled, cfg)
+            np.testing.assert_allclose(np.asarray(lp),
+                                       np.asarray(out.log_probs[:, j]),
+                                       rtol=1e-5, atol=1e-5)
+        # group members diverge only inside the window
+        assert np.abs(np.asarray(out.final_latents[0]
+                                 - out.final_latents[1])).max() > 1e-5

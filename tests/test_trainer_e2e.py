@@ -213,6 +213,16 @@ class TestSharding:
         with pytest.raises(TypeError):
             process_allgather(["a prompt", "another"])
 
+    def test_same_latent_shared_prefix_epoch(self, tiny_pipeline):
+        """same_latent=True routes through the shared-prefix sampler and the
+        epoch still trains end-to-end (window replay intact)."""
+        cfg = tiny_config()
+        cfg.sample.same_latent = True
+        trainer = make_trainer(tiny_pipeline, cfg)
+        assert trainer.shared_prefix
+        trainer.run(max_epochs=1)
+        assert int(trainer.state.micro_step) == 2 * 2  # minibatches * T
+
     def test_inner_epochs_multiply_microsteps(self, tiny_pipeline):
         cfg = tiny_config()
         cfg.train.num_inner_epochs = 2
