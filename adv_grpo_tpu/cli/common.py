@@ -204,9 +204,20 @@ def load_real_text_encoder(config, pipeline):
     return encode
 
 
+def _scorer_weights_dir(name: str) -> Optional[str]:
+    """Local pretrained scorer checkpoints, env-configured (zero-egress
+    environments supply these; the reference downloads them from the hub —
+    PickScore_v1, DINOv2, SigLIP, LAION aesthetic)."""
+    path = os.environ.get(name, "")
+    return path if path and os.path.exists(path) else None
+
+
 def build_reward_context(config, reward_names):
     """Assemble the RewardContext scorers a preset's reward names require.
-    Shared by the train/eval CLIs; smoke_test shrinks every scorer."""
+    Shared by the train/eval CLIs; smoke_test shrinks every scorer. Real
+    weights load from env-pointed local dirs (PICKSCORE_DIR, DINOV2_DIR,
+    SIGLIP_DIR, AESTHETIC_PATH) through models.convert; without them,
+    non-smoke scorers warn loudly that they are random-init."""
     import jax
 
     from adv_grpo_tpu.rewards.registry import RewardContext
@@ -215,6 +226,15 @@ def build_reward_context(config, reward_names):
     key = jax.random.PRNGKey(int(config.seed) + 1)
     ctx = RewardContext()
     smoke = bool(config.get("smoke_test", False))
+
+    def _warn_random(what, env):
+        if not smoke:
+            import warnings
+
+            warnings.warn(
+                f"{what} scorer is RANDOM-INIT: set {env} to a local "
+                f"checkpoint dir for real reward values", stacklevel=2)
+
     if reward_names & {"pickscore", "pickscore_cotrain", "clipscore",
                        "pickscore_patch", "constractive_external"}:
         if smoke:
@@ -226,22 +246,102 @@ def build_reward_context(config, reward_names):
         else:
             ps = PickScoreScorer()
         ctx.pickscore = ps
-        ctx.pickscore_params = ps.init_params(key)
-        try:
+        ps_dir = _scorer_weights_dir("PICKSCORE_DIR")
+        if ps_dir:
+            from adv_grpo_tpu.models import convert
+
+            sd = convert.load_torch_state_dict(ps_dir)
+            ctx.pickscore_params = convert.convert_clip_model(
+                sd, ps.clip.text_cfg.num_layers, ps.clip.vision_cfg.num_layers)
+        else:
+            _warn_random("PickScore CLIP-H", "PICKSCORE_DIR")
+            ctx.pickscore_params = ps.init_params(key)
+        tok_dir = os.path.join(str(config.pretrained.model), "tokenizer")
+        if os.path.isdir(tok_dir):  # local only: never hit the hub (zero-egress)
             import transformers
 
-            tok = transformers.CLIPTokenizer.from_pretrained(
-                os.path.join(str(config.pretrained.model), "tokenizer"))
+            tok = transformers.CLIPTokenizer.from_pretrained(tok_dir)
 
             def tokenize(prompts):
                 return tok(prompts, padding="max_length", max_length=77,
                            truncation=True, return_tensors="np").input_ids
-        except Exception:
+        else:
             max_len = ps.clip.text_cfg.max_position_embeddings
 
             def tokenize(prompts):
                 return np.full((len(prompts), max_len), 3, np.int32)
         ctx.tokenize = tokenize
+    if reward_names & {"clipscore"}:
+        from adv_grpo_tpu.rewards.scorers import CLIPScorer
+
+        if smoke:
+            from adv_grpo_tpu.models.clip_text import CLIPTextConfig
+            from adv_grpo_tpu.models.vit import ViTConfig
+
+            ctx.clip = CLIPScorer(CLIPTextConfig.tiny(projection_dim=16),
+                                  ViTConfig.tiny(projection_dim=16),
+                                  image_size=28)
+        else:
+            ctx.clip = CLIPScorer()
+        clip_dir = _scorer_weights_dir("CLIP_DIR")
+        if clip_dir:
+            from adv_grpo_tpu.models import convert
+
+            sd = convert.load_torch_state_dict(clip_dir)
+            ctx.clip_params = convert.convert_clip_model(
+                sd, ctx.clip.clip.text_cfg.num_layers,
+                ctx.clip.clip.vision_cfg.num_layers)
+        else:
+            _warn_random("CLIP-L", "CLIP_DIR")
+            ctx.clip_params = ctx.clip.init_params(key)
+    if reward_names & {"aesthetic"}:
+        from adv_grpo_tpu.rewards.scorers import AestheticScorer
+
+        if smoke:
+            from adv_grpo_tpu.models.vit import ViTConfig
+
+            ctx.aesthetic = AestheticScorer(ViTConfig.tiny(projection_dim=768),
+                                            image_size=28)
+        else:
+            ctx.aesthetic = AestheticScorer()
+        ctx.aesthetic_params = ctx.aesthetic.init_params(key)
+        aes_path = _scorer_weights_dir("AESTHETIC_PATH")
+        clip_dir = _scorer_weights_dir("CLIP_DIR")
+        if aes_path and clip_dir:
+            import torch as _torch
+
+            from adv_grpo_tpu.models import convert
+
+            head_sd = {k: v.float().numpy() for k, v in _torch.load(
+                aes_path, map_location="cpu", weights_only=True).items()}
+            vis_sd = convert.load_torch_state_dict(clip_dir)
+            ctx.aesthetic_params = {
+                "vision": convert.convert_clip_vision(
+                    vis_sd, ctx.aesthetic.vision_cfg.num_layers),
+                "head": convert.convert_aesthetic_mlp(head_sd)}
+        else:
+            _warn_random("Aesthetic (LAION MLP + CLIP-L)",
+                         "AESTHETIC_PATH + CLIP_DIR")
+    if reward_names & {"siglip_image_similarity", "siglip_cotrain"}:
+        from adv_grpo_tpu.rewards.scorers import SigLIPScorer
+
+        if smoke:
+            from adv_grpo_tpu.models.siglip import SigLIPVisionConfig
+
+            ctx.siglip = SigLIPScorer(SigLIPVisionConfig.tiny(), image_size=28)
+        else:
+            ctx.siglip = SigLIPScorer()
+        sig_dir = _scorer_weights_dir("SIGLIP_DIR")
+        if sig_dir:
+            from adv_grpo_tpu.models import convert
+
+            sd = convert.load_torch_state_dict(sig_dir)
+            ctx.siglip_backbone_params = convert.convert_siglip(
+                sd, ctx.siglip.vision_cfg.num_layers)
+        else:
+            _warn_random("SigLIP", "SIGLIP_DIR")
+            ctx.siglip_backbone_params = ctx.siglip.init_backbone(key)
+        ctx.siglip_head_params = ctx.siglip.init_head(key)
     if reward_names & {"image_similarity", "image_similarity_eval",
                        "dino_cotrain", "dino_patch_cotrain",
                        "dino_multi_cotrain"}:
@@ -256,7 +356,19 @@ def build_reward_context(config, reward_names):
         import jax as _jax
 
         ctx.dino = dino
-        ctx.dino_backbone_params = dino.init_backbone(key)
+        dino_dir = _scorer_weights_dir("DINOV2_DIR")
+        if dino_dir:
+            from adv_grpo_tpu.models import convert
+
+            sd = convert.load_torch_state_dict(dino_dir)
+            # HF transformers layout vs timm layout, detected by key names
+            conv = (convert.convert_dinov2_hf
+                    if any(k.startswith("encoder.layer.") for k in sd)
+                    else convert.convert_dinov2)
+            ctx.dino_backbone_params = conv(sd, dino.vision_cfg.num_layers)
+        else:
+            _warn_random("DINOv2 backbone", "DINOV2_DIR")
+            ctx.dino_backbone_params = dino.init_backbone(key)
         ctx.dino_head_params = dino.init_head(key)
         ctx.rng = _jax.random.PRNGKey(int(config.seed) + 2)
         if "dino_multi_cotrain" in reward_names:

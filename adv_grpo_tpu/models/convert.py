@@ -557,6 +557,48 @@ def convert_wan_vae(sd: Dict[str, np.ndarray], cfg) -> Dict:
     return {"latents_mean": mean.reshape(-1), "latents_std": std.reshape(-1)}
 
 
+def convert_dinov2_hf(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    """HF transformers Dinov2Model -> models.vit.VisionTransformer (same
+    target tree as the timm converter; HF splits qkv and names LayerScale
+    lambda1). Activation-parity-tested against a live Dinov2Model."""
+    g = _Taken(sd)
+    patch_w = g("embeddings.patch_embeddings.projection.weight")  # (D,3,p,p)
+    D, C, ph, pw = patch_w.shape
+    p: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": patch_w.transpose(2, 3, 1, 0).reshape(ph * pw * C, D),
+            "bias": g("embeddings.patch_embeddings.projection.bias")},
+        "class_embedding": np.asarray(g("embeddings.cls_token")).reshape(D),
+        "position_embedding": np.asarray(
+            g("embeddings.position_embeddings")).reshape(-1, D),
+        "post_layernorm": {"scale": g("layernorm.weight"),
+                           "bias": g("layernorm.bias")},
+    }
+    for i in range(num_layers):
+        b = f"encoder.layer.{i}."
+        p[f"layer_{i}"] = {
+            "norm1": {"scale": g(b + "norm1.weight"),
+                      "bias": g(b + "norm1.bias")},
+            "norm2": {"scale": g(b + "norm2.weight"),
+                      "bias": g(b + "norm2.bias")},
+            "q_proj": {"kernel": _t(g(b + "attention.attention.query.weight")),
+                       "bias": g(b + "attention.attention.query.bias")},
+            "k_proj": {"kernel": _t(g(b + "attention.attention.key.weight")),
+                       "bias": g(b + "attention.attention.key.bias")},
+            "v_proj": {"kernel": _t(g(b + "attention.attention.value.weight")),
+                       "bias": g(b + "attention.attention.value.bias")},
+            "out_proj": {"kernel": _t(g(b + "attention.output.dense.weight")),
+                         "bias": g(b + "attention.output.dense.bias")},
+            "fc1": {"kernel": _t(g(b + "mlp.fc1.weight")),
+                    "bias": g(b + "mlp.fc1.bias")},
+            "fc2": {"kernel": _t(g(b + "mlp.fc2.weight")),
+                    "bias": g(b + "mlp.fc2.bias")},
+            "ls1": g(b + "layer_scale1.lambda1"),
+            "ls2": g(b + "layer_scale2.lambda1"),
+        }
+    return p
+
+
 # ───────────────────────────── aesthetic MLP ─────────────────────────────
 
 

@@ -285,3 +285,30 @@ class TestSigLIPParity:
                                    out.last_hidden_state.numpy(), atol=1e-4)
         np.testing.assert_allclose(np.asarray(got["pooled"]),
                                    out.pooler_output.numpy(), atol=1e-4)
+
+
+class TestDinov2Parity:
+    def test_dinov2_matches_hf(self):
+        """The DINO reward backbone: converted HF Dinov2Model activations
+        match ours (CLS + patch tokens) — upgrades the DINO converter from
+        structure-tested to parity-tested."""
+        torch.manual_seed(0)
+        hf_cfg = transformers.Dinov2Config(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            mlp_ratio=2, image_size=28, patch_size=14,  # mlp = 2*32 = 64
+            layerscale_value=0.5, attention_probs_dropout_prob=0.0,
+            hidden_dropout_prob=0.0, drop_path_rate=0.0)
+        torch_model = transformers.Dinov2Model(hf_cfg).eval()
+        img = torch.randn(2, 3, 28, 28)
+        with torch.no_grad():
+            out = torch_model(img).last_hidden_state
+
+        cfg = ViTConfig(image_size=28, patch_size=14, hidden_size=32,
+                        intermediate_size=64, num_layers=2, num_heads=2,
+                        layer_norm_eps=1e-6, use_pre_ln=False,
+                        layer_scale_init=0.5, projection_dim=None)
+        params = convert.convert_dinov2_hf(_sd_numpy(torch_model), 2)
+        model = VisionTransformer(cfg)
+        got = model.apply({"params": params}, jnp.asarray(img.numpy()))
+        np.testing.assert_allclose(np.asarray(got["tokens"]), out.numpy(),
+                                   atol=2e-4)
