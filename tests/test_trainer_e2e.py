@@ -294,3 +294,24 @@ class TestLiveRewardParams:
         trainer.run(max_epochs=1)  # dark refs -> D-epoch fires
         # one D-step per sampling batch (whole-epoch D data)
         assert float(ctx.pickscore_params["w"]) == cfg.sample.num_batches_per_epoch
+
+
+class TestMultiHostPartition:
+    def test_local_ranks_cover_all_replicas(self, tiny_pipeline, monkeypatch):
+        """Simulated 2-host layout: each process's prompt slots are its own
+        ranks' shards, and the union over processes equals the
+        single-controller global batch."""
+        trainer = make_trainer(tiny_pipeline, tiny_config())
+        global_slots = trainer._epoch_prompt_slots(0)  # single-controller: all
+
+        import adv_grpo_tpu.train.driver as driver_mod
+
+        per_proc = []
+        for pidx in range(2):
+            monkeypatch.setattr(driver_mod.jax, "process_count", lambda: 2)
+            monkeypatch.setattr(driver_mod.jax, "process_index",
+                                lambda p=pidx: p)
+            monkeypatch.setattr(driver_mod.jax, "local_device_count",
+                                lambda: 4)
+            per_proc.append(trainer._epoch_prompt_slots(0))
+        assert per_proc[0] + per_proc[1] == global_slots
