@@ -135,9 +135,10 @@ class GRPOTrainer:
             len(dataset), batch_size=int(s.train_batch_size), k=self.k,
             num_replicas=self.n_dev, rank=0, seed=int(config.seed))
         self.tracker = PerPromptStatTracker(global_std=bool(s.global_std))
-        self.logger = logger or MetricLogger(config.save_dir,
-                                             wandb_init=bool(config.wandb_init),
-                                             run_name=str(config.case_name))
+        self.logger = logger or MetricLogger(
+            config.save_dir, wandb_init=bool(config.wandb_init),
+            run_name=str(config.case_name),
+            is_main=jax.process_index() == 0)  # main-process-only (ref :428)
         self.timer = StepTimer()
         self.executor = ThreadPoolExecutor(max_workers=4)
         # precomputed negative ("") embeddings (reference :632-637)
@@ -262,7 +263,7 @@ class GRPOTrainer:
             # concatenates ALL epoch batches before training D,
             # train_sd3_fast_pickscore.py:795-800,1003-1008); fp16 on host
             # to bound memory at production batch counts.
-            if self.disc is not None:
+            if self.disc is not None and bool(self.config.train_d):
                 all_images.append(np.asarray(images, np.float16))
                 all_refs.append(None if refs is None
                                 else np.asarray(refs, np.float16))
@@ -398,10 +399,18 @@ class GRPOTrainer:
         images = self.eval_fn(lora, self.frozen, batch["embeds"],
                               batch["pooled"], batch["neg_e"],
                               batch["neg_p"], key)
-        refs = (self.reference_store.get_batch(eval_prompts)
+        local_prompts = eval_prompts
+        if jax.process_count() > 1 and embeds.shape[0] % self.n_dev == 0:
+            # hosts score/save their LOCAL rows (global arrays are not fully
+            # addressable from one process); prompts slice to match
+            images = jnp.asarray(to_local_np(images))
+            per = embeds.shape[0] // jax.process_count()
+            start = jax.process_index() * per
+            local_prompts = eval_prompts[start:start + per]
+        refs = (self.reference_store.get_batch(local_prompts)
                 if self.reference_store is not None else None)
         details, _ = self.eval_reward_fn(
-            images, eval_prompts, [{}] * len(eval_prompts),
+            images, local_prompts, [{}] * len(local_prompts),
             ref_images=None if refs is None else jnp.asarray(refs))
 
         def _mean(v):
@@ -495,21 +504,37 @@ class GRPOTrainer:
         except Exception:
             pass  # grid saving is best-effort observability
 
+    @staticmethod
+    def _host_leaf(x):
+        """Replicated global array -> host numpy (multi-host arrays are not
+        fully addressable from one process; replication makes any local
+        shard the full value)."""
+        if hasattr(x, "addressable_data"):
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+
     def save(self):
         cfg = self.config
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # state is replicated; the main process writes (reference
+            # accelerator.is_main_process gate, :389-398)
+            return None
+        state = self.state
+        if jax.process_count() > 1:  # host copies for single-process writes
+            state = jax.tree_util.tree_map(self._host_leaf, state)
         extra = None
         if self.disc is not None:
             # the co-trained reward model must survive a crash too (the
             # reference loses it; VERDICT r1 — persist D params + opt state)
-            extra = {"d_params": jax.tree_util.tree_map(np.asarray,
+            extra = {"d_params": jax.tree_util.tree_map(self._host_leaf,
                                                         self.disc.params),
                      "d_opt_state": jax.tree_util.tree_map(
-                         np.asarray, self.disc.opt_state)}
-        path = ckpt_lib.save_state(str(cfg.save_dir), int(self.state.global_step),
-                                   self.state, extra=extra)
-        ema_weights = self.state.ema.params if self.state.ema is not None else None
-        ckpt_lib.save_lora_only(str(cfg.save_dir), int(self.state.global_step),
-                                self.state.lora, use_ema_weights=ema_weights)
+                         self._host_leaf, self.disc.opt_state)}
+        path = ckpt_lib.save_state(str(cfg.save_dir), int(state.global_step),
+                                   state, extra=extra)
+        ema_weights = state.ema.params if state.ema is not None else None
+        ckpt_lib.save_lora_only(str(cfg.save_dir), int(state.global_step),
+                                state.lora, use_ema_weights=ema_weights)
         ckpt_lib.prune_checkpoints(str(cfg.save_dir), int(cfg.num_checkpoint_limit))
         return path
 

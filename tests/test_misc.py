@@ -1,5 +1,7 @@
 """SigLIP tower, VLM score extraction, prompt functions, extended scorers."""
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -195,3 +197,62 @@ class TestScorerWeightLoading:
         with warnings.catch_warnings():
             warnings.simplefilter("error")  # smoke mode: no warning
             build_reward_context(cfg, {"dino_cotrain"})
+
+
+class TestDatasetTooling:
+    def test_counting_edit_builder(self, tmp_path):
+        from PIL import Image
+
+        from adv_grpo_tpu.data import tooling
+
+        meta = tmp_path / "metadata.jsonl"
+        meta.write_text(json.dumps({
+            "tag": "counting",
+            "include": [{"class": "cat", "count": 3}],
+            "exclude": [{"class": "cat", "count": 4}],
+            "t2i_prompt": "a photo of three cats"}) + "\n")
+        calls = []
+
+        def gen(prompt):
+            calls.append(prompt)
+            return Image.new("RGB", (8, 8))
+
+        out = tmp_path / "output.jsonl"
+        n = tooling.build_counting_edit(str(meta), str(out),
+                                        str(tmp_path / "imgs"), gen)
+        assert n == 3 and calls == ["a photo of three cats"]
+        recs = tooling.read_jsonl(str(out))
+        assert [r["include"][0]["count"] for r in recs] == [1, 2, 4]
+        assert recs[0]["prompt"] == \
+            "Change the number of cat in the image to one."
+        assert recs[0]["exclude"] == [{"class": "cat", "count": 2}]
+        # matches the SHIPPED reference-built records' schema
+        shipped = tooling.read_jsonl("dataset/counting_edit/train_metadata.jsonl")
+        assert set(recs[0]) == set(shipped[0])
+
+    def test_split_filter_merge(self, tmp_path):
+        from adv_grpo_tpu.data import tooling
+
+        recs = [{"prompt": f"p{i}", "tag": "counting"} for i in range(20)]
+        src = tmp_path / "all.jsonl"
+        tooling.write_jsonl(str(src), recs)
+        n_test, n_train = tooling.split_train_test(
+            str(src), str(tmp_path / "train.jsonl"), str(tmp_path / "test.jsonl"),
+            test_size=5)
+        assert (n_test, n_train) == (5, 15)
+
+        kept = tooling.filter_test_prompts(
+            str(tmp_path / "test.jsonl"), str(src),
+            str(tmp_path / "train_filtered.jsonl"))
+        assert kept == 15  # the 5 test prompts dropped from the full set
+
+        assert tooling.largest_remainder_allocation([0.7, 0.3], 10) == [7, 3]
+        assert sum(tooling.largest_remainder_allocation(
+            [0.7, 0.3, 0.1, 0.5, 0.1], 50000)) == 50000
+
+        counts = tooling.merge_weighted_tasks(
+            {"a": str(src), "b": str(tmp_path / "test.jsonl")},
+            {"a": 0.5, "b": 0.5}, str(tmp_path / "merged.jsonl"),
+            total_samples=30)
+        merged = tooling.read_jsonl(str(tmp_path / "merged.jsonl"))
+        assert len(merged) == 30 and counts == {"a": 15, "b": 15}
