@@ -93,23 +93,30 @@ class ReferenceImageStore:
                 pass
         return np.zeros((3, self.resolution, self.resolution), np.float32)
 
-    def get(self, prompt: str, rng: Optional[random.Random] = None) -> np.ndarray:
-        """(num_refs, 3, H, W) for one prompt (sampled when more are on disk)."""
+    def _choose(self, prompt: str, rng) -> Optional[List[str]]:
+        """Resolved file paths for one prompt, or None (missing prompt)."""
         files = self.prompt2files.get(prompt)
         if files is None:
             if self.strict:
                 # the DINO trainer exits hard on a missing train reference
                 # (train_sd3_fast_dino_patch.py:875-878)
                 raise KeyError(f"no reference images for prompt: {prompt!r}")
-            return np.stack([self._fallback()] * self.num_refs)
+            return None
         if isinstance(files, str):
             files = [files]
         rng = rng or random
         chosen = (rng.sample(files, self.num_refs) if len(files) >= self.num_refs
                   else [rng.choice(files) for _ in range(self.num_refs)])
+        return [f if os.path.isabs(f) else os.path.join(self.image_dir, f)
+                for f in chosen]
+
+    def get(self, prompt: str, rng: Optional[random.Random] = None) -> np.ndarray:
+        """(num_refs, 3, H, W) for one prompt (sampled when more are on disk)."""
+        paths = self._choose(prompt, rng)
+        if paths is None:
+            return np.stack([self._fallback()] * self.num_refs)
         out = []
-        for fname in chosen:
-            path = fname if os.path.isabs(fname) else os.path.join(self.image_dir, fname)
+        for path in paths:
             try:
                 out.append(self._load_one(path))
             except Exception:
@@ -119,7 +126,35 @@ class ReferenceImageStore:
         return np.stack(out)
 
     def get_batch(self, prompts: Sequence[str], rng=None) -> np.ndarray:
-        return np.stack([self.get(p, rng) for p in prompts])
+        """(B, num_refs, 3, H, W): the whole batch decoded + resized through
+        the C++ thread-pool loader (native/image_loader.cpp) when available —
+        the reference's per-image PIL loop (train_sd3_fast_pickscore.py:
+        773-799) is a serial host bottleneck at epoch batch counts."""
+        from adv_grpo_tpu.native.lib import load_images_chw
+
+        per_prompt = [self._choose(p, rng) for p in prompts]
+        flat = [path for paths in per_prompt if paths is not None
+                for path in paths]
+        native = load_images_chw(flat, self.resolution) if flat else None
+        if native is None:  # no native lib: PIL path
+            return np.stack([self.get(p, rng) if paths is not None
+                             else np.stack([self._fallback()] * self.num_refs)
+                             for p, paths in zip(prompts, per_prompt)])
+        images, ok = native
+        if self.strict and not ok.all():
+            bad = [flat[i] for i in np.flatnonzero(~ok)[:3]]
+            raise IOError(f"failed to load reference images: {bad}")
+        out, i = [], 0
+        for paths in per_prompt:
+            if paths is None:
+                out.append(np.stack([self._fallback()] * self.num_refs))
+                continue
+            rows = []
+            for _ in paths:
+                rows.append(images[i] if ok[i] else self._fallback())
+                i += 1
+            out.append(np.stack(rows))
+        return np.stack(out)
 
 
 # ───────────────────────── prompt functions (adv_grpo/prompts.py) ─────────────

@@ -34,6 +34,15 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
+        try:
+            lib.load_images_chw.restype = None
+            lib.load_images_chw.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ]
+        except AttributeError:  # stale .so without the image loader
+            pass
         _LIB = lib
     except OSError:
         _LIB = None
@@ -72,3 +81,25 @@ def images_to_uint8(images: np.ndarray) -> np.ndarray:
         return out
     x = np.clip(images * 0.5 + 0.5, 0, 1)
     return (x.transpose(0, 2, 3, 1) * 255).astype(np.uint8)
+
+
+def load_images_chw(paths, resolution: int, n_threads: int = 0):
+    """Decode + PIL-style bicubic resize a batch of image files across a C++
+    thread pool (native/image_loader.cpp). Returns (images, ok):
+    images float32 (N, 3, R, R) in [-1, 1], ok bool (N) — failed slots are
+    zeros with ok=False (caller supplies fallbacks). Returns None when the
+    native library is unavailable (callers keep their PIL path)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "load_images_chw"):
+        return None
+    n = len(paths)
+    out = np.zeros((n, 3, resolution, resolution), np.float32)
+    ok = np.zeros((n,), np.uint8)
+    if n == 0:
+        return out, ok.astype(bool)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    lib.load_images_chw(arr, n, resolution,
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        n_threads)
+    return out, ok.astype(bool)

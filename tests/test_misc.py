@@ -256,3 +256,70 @@ class TestDatasetTooling:
             total_samples=30)
         merged = tooling.read_jsonl(str(tmp_path / "merged.jsonl"))
         assert len(merged) == 30 and counts == {"a": 15, "b": 15}
+
+
+class TestNativeImageLoader:
+    def test_decode_resize_matches_pil(self, tmp_path):
+        from PIL import Image
+
+        from adv_grpo_tpu.native.lib import load_images_chw
+
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 255, (37, 53, 3)).astype(np.uint8)
+        # smooth gradient for the JPEG leg (noise is JPEG's worst case)
+        yy, xx = np.mgrid[0:37, 0:53]
+        smooth = np.stack([yy * 6, xx * 4, (yy + xx) * 3], -1).astype(np.uint8)
+        png = tmp_path / "a.png"
+        jpg = tmp_path / "b.jpg"
+        Image.fromarray(arr).save(png)
+        Image.fromarray(smooth).save(jpg, quality=95)
+
+        res = 16
+        got = load_images_chw([str(png), str(jpg), str(tmp_path / "nope.png")],
+                              res)
+        if got is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        images, ok = got
+        assert images.shape == (3, 3, res, res)
+        assert list(ok) == [True, True, False]
+        assert np.all(images[2] == 0)  # failed slot untouched
+
+        # PIL BICUBIC parity on the lossless PNG
+        want = np.asarray(Image.fromarray(arr).resize(
+            (res, res), Image.BICUBIC), np.float32) / 255.0
+        want = want.transpose(2, 0, 1) * 2.0 - 1.0
+        assert np.abs(images[0] - want).max() < 3.0 / 255.0
+        # JPEG round-trips with compression noise only
+        want_j = np.asarray(Image.fromarray(smooth).resize(
+            (res, res), Image.BICUBIC), np.float32) / 255.0
+        want_j = want_j.transpose(2, 0, 1) * 2.0 - 1.0
+        assert np.abs(images[1] - want_j).mean() < 6.0 / 255.0
+
+    def test_reference_store_uses_native_batch(self, tmp_path):
+        import json as _json
+
+        from PIL import Image
+
+        from adv_grpo_tpu.data.datasets import ReferenceImageStore
+
+        img = np.full((20, 20, 3), 200, np.uint8)
+        Image.fromarray(img).save(tmp_path / "r.png")
+        (tmp_path / "p2i.json").write_text(_json.dumps({"p0": ["r.png"]}))
+        store = ReferenceImageStore(str(tmp_path / "p2i.json"), str(tmp_path),
+                                    resolution=8)
+        batch = store.get_batch(["p0", "missing"])
+        assert batch.shape == (2, 1, 3, 8, 8)
+        # loaded image ~ (200/255*2-1); missing prompt -> zero fallback
+        assert abs(batch[0].mean() - (200 / 255 * 2 - 1)) < 0.02
+        assert np.all(batch[1] == 0)
+        # strict mode raises on unreadable files
+        (tmp_path / "p2i_bad.json").write_text(
+            _json.dumps({"p0": ["gone.png"]}))
+        strict = ReferenceImageStore(str(tmp_path / "p2i_bad.json"),
+                                     str(tmp_path), resolution=8, strict=True)
+        import pytest
+
+        with pytest.raises(Exception):
+            strict.get_batch(["p0"])
