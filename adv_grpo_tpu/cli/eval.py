@@ -29,6 +29,8 @@ def main(argv=None):
     parser.add_argument("--rewards", action="store_true",
                         help="score generated images with config.eval_reward_fn "
                              "(reference scripts/eval.py:260-301)")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="K=V", help="config override")
     args = parser.parse_args(argv)
 
     import jax
@@ -43,7 +45,9 @@ def main(argv=None):
     from adv_grpo_tpu.train import checkpoint as ckpt_lib
     from PIL import Image
 
-    config = resolve_config(args.config)
+    from adv_grpo_tpu.cli.common import apply_overrides
+
+    config = apply_overrides(resolve_config(args.config), args.set)
     pipeline = build_pipeline(config, latent_hw=args.latent_hw)
     encode = build_text_encoder(config, pipeline)
 

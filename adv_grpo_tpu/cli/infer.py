@@ -25,6 +25,8 @@ def main(argv=None):
     parser.add_argument("--out_dir", default="outputs")
     parser.add_argument("--lora", default=None)
     parser.add_argument("--latent_hw", type=int, default=None)
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="K=V", help="config override")
     args = parser.parse_args(argv)
 
     import jax
@@ -35,7 +37,9 @@ def main(argv=None):
     from adv_grpo_tpu.rollout.sampler import SamplerConfig, denoise_with_logprob
     from adv_grpo_tpu.train import checkpoint as ckpt_lib
 
-    config = resolve_config(args.config)
+    from adv_grpo_tpu.cli.common import apply_overrides
+
+    config = apply_overrides(resolve_config(args.config), args.set)
     pipeline = build_pipeline(config, latent_hw=args.latent_hw)
     encode = build_text_encoder(config, pipeline)
 

@@ -323,3 +323,20 @@ class TestNativeImageLoader:
 
         with pytest.raises(Exception):
             strict.get_batch(["p0"])
+
+
+class TestApplyOverrides:
+    def test_nested_and_literal_values(self):
+        from adv_grpo_tpu.cli.common import apply_overrides
+        from adv_grpo_tpu.config import grpo as grpo_config
+
+        cfg = grpo_config.get_config("smoke_sd3_fast")
+        apply_overrides(cfg, ["train.learning_rate=1e-5", "sample.num_steps=7",
+                              "case_name=abc", "train_d=True"])
+        assert cfg.train.learning_rate == 1e-5
+        assert cfg.sample.num_steps == 7
+        assert cfg.case_name == "abc" and cfg.train_d is True
+        import pytest
+
+        with pytest.raises(ValueError):
+            apply_overrides(cfg, ["no_equals_sign"])
