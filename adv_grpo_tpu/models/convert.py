@@ -435,24 +435,28 @@ def convert_vae(sd: Dict[str, np.ndarray], cfg) -> Dict:
 # ───────────────────────────── DINOv2 (timm) ─────────────────────────────
 
 
-def convert_dinov2(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+def convert_timm_vit(sd: Dict[str, np.ndarray], num_layers: int,
+                     prefix: str = "", layer_scale: bool = True) -> Dict:
+    """timm-layout ViT (fused qkv, blocks.N.*) -> models.vit.VisionTransformer.
+    Covers DINOv2 (LayerScale) and BLIP/DeiT-style towers (no LayerScale)."""
     g = _Taken(sd)
-    patch_w = g("patch_embed.proj.weight")  # (D,3,p,p)
+    patch_w = g(prefix + "patch_embed.proj.weight")  # (D,3,p,p)
     D, C, ph, pw = patch_w.shape
     p: Dict[str, Any] = {
         "patch_embed": {"kernel": patch_w.transpose(2, 3, 1, 0).reshape(ph * pw * C, D),
-                        "bias": g("patch_embed.proj.bias")},
-        "class_embedding": np.asarray(g("cls_token")).reshape(D),
-        "position_embedding": np.asarray(g("pos_embed")).reshape(-1, D),
-        "post_layernorm": {"scale": g("norm.weight"), "bias": g("norm.bias")},
+                        "bias": g(prefix + "patch_embed.proj.bias")},
+        "class_embedding": np.asarray(g(prefix + "cls_token")).reshape(D),
+        "position_embedding": np.asarray(g(prefix + "pos_embed")).reshape(-1, D),
+        "post_layernorm": {"scale": g(prefix + "norm.weight"),
+                           "bias": g(prefix + "norm.bias")},
     }
     for i in range(num_layers):
-        b = f"blocks.{i}."
+        b = f"{prefix}blocks.{i}."
         qkv_w = g(b + "attn.qkv.weight")  # (3D, D)
         qkv_b = g(b + "attn.qkv.bias")
         qw, kw, vw = np.split(qkv_w, 3, axis=0)
         qb, kb, vb = np.split(qkv_b, 3, axis=0)
-        p[f"layer_{i}"] = {
+        layer = {
             "norm1": {"scale": g(b + "norm1.weight"), "bias": g(b + "norm1.bias")},
             "norm2": {"scale": g(b + "norm2.weight"), "bias": g(b + "norm2.bias")},
             "q_proj": {"kernel": _t(qw), "bias": qb},
@@ -462,10 +466,89 @@ def convert_dinov2(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
                          "bias": g(b + "attn.proj.bias")},
             "fc1": {"kernel": _t(g(b + "mlp.fc1.weight")), "bias": g(b + "mlp.fc1.bias")},
             "fc2": {"kernel": _t(g(b + "mlp.fc2.weight")), "bias": g(b + "mlp.fc2.bias")},
-            "ls1": g(b + "ls1.gamma"),
-            "ls2": g(b + "ls2.gamma"),
         }
+        if layer_scale:
+            layer["ls1"] = g(b + "ls1.gamma")
+            layer["ls2"] = g(b + "ls2.gamma")
+        p[f"layer_{i}"] = layer
     return p
+
+
+def convert_dinov2(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    return convert_timm_vit(sd, num_layers, layer_scale=True)
+
+
+# ───────────────────────────── BLIP / ImageReward ─────────────────────────────
+
+
+def convert_blip_text(sd: Dict[str, np.ndarray], num_layers: int,
+                      prefix: str = "") -> Dict:
+    """HF BlipTextModel / BLIP med-BERT -> models.blip.BlipTextEncoder.
+    Cross-attention layers are mapped when present; an optional
+    token_type_embeddings row 0 (always-zero type ids) is folded into the
+    position table."""
+    g = _Taken(sd)
+    e = prefix + "embeddings."
+    pos = np.asarray(g(e + "position_embeddings.weight"))
+    if g.has(e + "token_type_embeddings.weight"):
+        pos = pos + np.asarray(g(e + "token_type_embeddings.weight"))[0][None]
+    p: Dict[str, Any] = {
+        "word_embeddings": {"embedding": g(e + "word_embeddings.weight")},
+        "position_embeddings": pos,
+        "embeddings_ln": {"scale": g(e + "LayerNorm.weight"),
+                          "bias": g(e + "LayerNorm.bias")},
+    }
+
+    def attn(b):
+        return {
+            "query": {"kernel": _t(g(b + "self.query.weight")),
+                      "bias": g(b + "self.query.bias")},
+            "key": {"kernel": _t(g(b + "self.key.weight")),
+                    "bias": g(b + "self.key.bias")},
+            "value": {"kernel": _t(g(b + "self.value.weight")),
+                      "bias": g(b + "self.value.bias")},
+            "out_dense": {"kernel": _t(g(b + "output.dense.weight")),
+                          "bias": g(b + "output.dense.bias")},
+            "out_ln": {"scale": g(b + "output.LayerNorm.weight"),
+                       "bias": g(b + "output.LayerNorm.bias")},
+        }
+
+    for i in range(num_layers):
+        b = f"{prefix}encoder.layer.{i}."
+        layer = {
+            "self_attn": attn(b + "attention."),
+            "intermediate": {"kernel": _t(g(b + "intermediate.dense.weight")),
+                             "bias": g(b + "intermediate.dense.bias")},
+            "output": {"kernel": _t(g(b + "output.dense.weight")),
+                       "bias": g(b + "output.dense.bias")},
+            "output_ln": {"scale": g(b + "output.LayerNorm.weight"),
+                          "bias": g(b + "output.LayerNorm.bias")},
+        }
+        if g.has(b + "crossattention.self.query.weight"):
+            layer["cross_attn"] = attn(b + "crossattention.")
+        p[f"layer_{i}"] = layer
+    return p
+
+
+def convert_imagereward(sd: Dict[str, np.ndarray], text_layers: int = 12,
+                        vision_layers: int = 24) -> Dict:
+    """ImageReward checkpoint (blip.visual_encoder timm ViT-L/16 +
+    blip.text_encoder med BERT + mlp.layers.{0,2,4,6,7}) ->
+    models.blip.ImageRewardModel params."""
+    head_names = ["fc0", "fc1", "fc2", "fc3", "out"]
+    head_idx = [0, 2, 4, 6, 7]
+    g = _Taken(sd)
+    head = {n: {"kernel": _t(g(f"mlp.layers.{i}.weight")),
+                "bias": g(f"mlp.layers.{i}.bias")}
+            for n, i in zip(head_names, head_idx)}
+    return {
+        "vision": convert_timm_vit(sd, vision_layers,
+                                   prefix="blip.visual_encoder.",
+                                   layer_scale=False),
+        "text": convert_blip_text(sd, text_layers,
+                                  prefix="blip.text_encoder."),
+        "head": head,
+    }
 
 
 # ───────────────────────────── WAN (diffusers WanTransformer3DModel) ─────────

@@ -93,17 +93,20 @@ class QwenVLScorer:
 
 class ImageRewardScorer:
     """BLIP-based ImageReward (reference adv_grpo/imagereward_scorer.py:12-21
-    wraps the pip package's inference_rank). Gated on the package/weights."""
+    wraps the pip package's inference_rank).
+
+    Resolution order: injected ``score_fn`` -> the pip package -> the NATIVE
+    Flax implementation (models/blip.py ImageRewardModel) loaded from a local
+    checkpoint: ``IMAGEREWARD_PT`` (the torch .pt state dict) plus
+    ``BERT_TOKENIZER_DIR`` (the med-BERT tokenizer)."""
 
     def __init__(self, model_path: Optional[str] = None, score_fn=None):
         self.score_fn = score_fn
-        if score_fn is None:  # pragma: no cover - needs package+weights
-            try:
-                import ImageReward as RM
-            except ImportError as e:
-                raise RuntimeError(
-                    "ImageRewardScorer needs the ImageReward package or an "
-                    "injected score_fn(prompt, pil_images) -> scores") from e
+        if score_fn is not None:
+            return
+        try:  # pragma: no cover - needs package+weights
+            import ImageReward as RM
+
             model = RM.load(model_path or "ImageReward-v1.0")
 
             def score_fn(prompt, pil_images):
@@ -111,6 +114,52 @@ class ImageRewardScorer:
                 return scores
 
             self.score_fn = score_fn
+            return
+        except ImportError:
+            pass
+        import os
+
+        pt = model_path or os.environ.get("IMAGEREWARD_PT", "")
+        tok_dir = os.environ.get("BERT_TOKENIZER_DIR", "")
+        if pt and os.path.exists(pt) and os.path.isdir(tok_dir):
+            self.score_fn = self._make_native(pt, tok_dir)
+            return
+        raise RuntimeError(
+            "ImageRewardScorer needs one of: an injected "
+            "score_fn(prompt, pil_images), the ImageReward pip package, or "
+            "IMAGEREWARD_PT (local .pt checkpoint) + BERT_TOKENIZER_DIR "
+            "for the native Flax path")
+
+    @staticmethod
+    def _make_native(pt_path: str, tokenizer_dir: str):  # pragma: no cover
+        """Native path: convert the checkpoint once, score with the jitted
+        Flax model (models/blip.py) — no torch at inference time."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+        import transformers
+
+        from adv_grpo_tpu.models import convert
+        from adv_grpo_tpu.models.blip import ImageRewardModel
+
+        sd = {k: v.float().numpy() for k, v in torch.load(
+            pt_path, map_location="cpu", weights_only=True).items()}
+        model = ImageRewardModel()
+        params = convert.convert_imagereward(sd)
+        tok = transformers.BertTokenizer.from_pretrained(tokenizer_dir)
+
+        def score_fn(prompt, pil_images):
+            ids = tok([prompt], padding="max_length", truncation=True,
+                      max_length=35, return_tensors="np")
+            imgs = np.stack([np.asarray(im, np.float32).transpose(2, 0, 1)
+                             / 255.0 * 2.0 - 1.0 for im in pil_images])
+            return np.asarray(model.score(
+                params, jnp.asarray(imgs),
+                jnp.asarray(np.repeat(ids.input_ids, len(pil_images), 0)),
+                jnp.asarray(np.repeat(ids.attention_mask, len(pil_images),
+                                      0).astype(bool))))
+
+        return score_fn
 
     def __call__(self, images_u8, prompts: List[str]) -> np.ndarray:
         from PIL import Image

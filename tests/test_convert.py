@@ -312,3 +312,134 @@ class TestDinov2Parity:
         got = model.apply({"params": params}, jnp.asarray(img.numpy()))
         np.testing.assert_allclose(np.asarray(got["tokens"]), out.numpy(),
                                    atol=2e-4)
+
+
+class TestBlipTextParity:
+    def test_blip_text_matches_hf(self):
+        """BLIP med-BERT (ImageReward's text encoder): bidirectional self-attn
+        + per-layer cross-attn to image tokens, parity vs transformers
+        BlipTextModel (constructed is_decoder=True for the cross layers,
+        called is_decoder=False => no causal mask — the 'text' mode)."""
+        from transformers.models.blip.modeling_blip_text import BlipTextModel
+
+        torch.manual_seed(0)
+        hf_cfg = transformers.BlipTextConfig(
+            vocab_size=50, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=16, encoder_hidden_size=24,
+            is_decoder=True, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0)
+        torch_model = BlipTextModel(hf_cfg, add_pooling_layer=False).eval()
+        ids = torch.tensor([[2, 5, 7, 9, 0, 0], [3, 4, 0, 0, 0, 0]])
+        mask = (ids != 0).long()
+        img_tokens = torch.randn(2, 3, 24)
+        with torch.no_grad():
+            want = torch_model(
+                ids, attention_mask=mask, encoder_hidden_states=img_tokens,
+                is_decoder=False).last_hidden_state.numpy()
+
+        from adv_grpo_tpu.models.blip import BlipTextConfig, BlipTextEncoder
+
+        cfg = BlipTextConfig(vocab_size=50, hidden_size=32, num_layers=2,
+                             num_heads=2, intermediate_size=64,
+                             max_position_embeddings=16, encoder_width=24)
+        params = convert.convert_blip_text(_sd_numpy(torch_model), 2)
+        model = BlipTextEncoder(cfg)
+        got = model.apply({"params": params}, jnp.asarray(ids.numpy()),
+                          jnp.asarray(mask.numpy().astype(bool)),
+                          jnp.asarray(img_tokens.numpy()))
+        np.testing.assert_allclose(np.asarray(got)[0, :4], want[0, :4],
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got)[1, :2], want[1, :2],
+                                   atol=1e-4)
+
+
+class TestImageRewardNative:
+    def test_model_and_converter(self):
+        """Tiny ImageRewardModel end-to-end + convert_imagereward structural
+        round trip on a synthetic checkpoint (timm ViT + med BERT + mlp)."""
+        import jax
+
+        from adv_grpo_tpu.models.blip import BlipTextConfig, ImageRewardModel
+        from adv_grpo_tpu.models.vit import ViTConfig
+
+        tcfg = BlipTextConfig.tiny(encoder_width=32)
+        vcfg = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                         intermediate_size=64, num_layers=2, num_heads=2,
+                         layer_norm_eps=1e-6, use_pre_ln=False,
+                         layer_scale_init=None, projection_dim=None)
+        model = ImageRewardModel(tcfg, vcfg, image_size=32)
+        params = model.init_params(jax.random.PRNGKey(0))
+        imgs = jnp.asarray(np.random.default_rng(0).uniform(
+            -1, 1, (3, 3, 32, 32)), jnp.float32)
+        ids = jnp.asarray([[2, 5, 7, 0]] * 3, jnp.int32)
+        s = np.asarray(model.score(params, imgs, ids))
+        assert s.shape == (3,) and np.all(np.isfinite(s))
+
+        # synthetic ImageReward-layout checkpoint converts to the same tree
+        rng = np.random.default_rng(0)
+
+        def w(*shape):
+            return rng.normal(0, 0.02, shape).astype(np.float32)
+
+        D, Dt = 32, tcfg.hidden_size
+        sd = {"blip.visual_encoder.patch_embed.proj.weight": w(D, 3, 16, 16),
+              "blip.visual_encoder.patch_embed.proj.bias": w(D),
+              "blip.visual_encoder.cls_token": w(1, 1, D),
+              "blip.visual_encoder.pos_embed": w(1, 5, D),
+              "blip.visual_encoder.norm.weight": w(D),
+              "blip.visual_encoder.norm.bias": w(D)}
+        for i in range(2):
+            b = f"blip.visual_encoder.blocks.{i}."
+            sd.update({b + "norm1.weight": w(D), b + "norm1.bias": w(D),
+                       b + "norm2.weight": w(D), b + "norm2.bias": w(D),
+                       b + "attn.qkv.weight": w(3 * D, D),
+                       b + "attn.qkv.bias": w(3 * D),
+                       b + "attn.proj.weight": w(D, D),
+                       b + "attn.proj.bias": w(D),
+                       b + "mlp.fc1.weight": w(64, D),
+                       b + "mlp.fc1.bias": w(64),
+                       b + "mlp.fc2.weight": w(D, 64),
+                       b + "mlp.fc2.bias": w(D)})
+        e = "blip.text_encoder.embeddings."
+        sd.update({e + "word_embeddings.weight": w(tcfg.vocab_size, Dt),
+                   e + "position_embeddings.weight": w(16, Dt),
+                   e + "LayerNorm.weight": w(Dt), e + "LayerNorm.bias": w(Dt)})
+        for i in range(2):
+            b = f"blip.text_encoder.encoder.layer.{i}."
+            for a in ("attention.", "crossattention."):
+                kv_in = Dt if a == "attention." else tcfg.encoder_width
+                sd.update({b + a + "self.query.weight": w(Dt, Dt),
+                           b + a + "self.query.bias": w(Dt),
+                           b + a + "self.key.weight": w(Dt, kv_in),
+                           b + a + "self.key.bias": w(Dt),
+                           b + a + "self.value.weight": w(Dt, kv_in),
+                           b + a + "self.value.bias": w(Dt),
+                           b + a + "output.dense.weight": w(Dt, Dt),
+                           b + a + "output.dense.bias": w(Dt),
+                           b + a + "output.LayerNorm.weight": w(Dt),
+                           b + a + "output.LayerNorm.bias": w(Dt)})
+            sd.update({b + "intermediate.dense.weight": w(64, Dt),
+                       b + "intermediate.dense.bias": w(64),
+                       b + "output.dense.weight": w(Dt, 64),
+                       b + "output.dense.bias": w(Dt),
+                       b + "output.LayerNorm.weight": w(Dt),
+                       b + "output.LayerNorm.bias": w(Dt)})
+        for n, i in zip(["fc0", "fc1", "fc2", "fc3", "out"], [0, 2, 4, 6, 7]):
+            dims = {"fc0": (1024, Dt), "fc1": (128, 1024), "fc2": (64, 128),
+                    "fc3": (16, 64), "out": (1, 16)}[n]
+            sd[f"mlp.layers.{i}.weight"] = w(*dims)
+            sd[f"mlp.layers.{i}.bias"] = w(dims[0])
+
+        conv = convert.convert_imagereward(sd, text_layers=2, vision_layers=2)
+        flat_ref = {jax.tree_util.keystr(k): v.shape for k, v in
+                    jax.tree_util.tree_leaves_with_path(params)}
+        flat_got = {jax.tree_util.keystr(k): np.asarray(v).shape for k, v in
+                    jax.tree_util.tree_leaves_with_path(conv)}
+        # head dims are full-size in the checkpoint; compare tree KEYS exactly
+        # and non-head shapes exactly
+        assert set(flat_ref) == set(flat_got), \
+            set(flat_ref) ^ set(flat_got)
+        for k in flat_ref:
+            if "'head'" not in k:
+                assert flat_ref[k] == flat_got[k], (k, flat_ref[k], flat_got[k])
