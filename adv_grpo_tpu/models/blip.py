@@ -58,10 +58,10 @@ class BlipTextConfig:
 
 
 class _BertAttention(nn.Module):
-    """Post-LN BERT attention block: out = LN(x + dense(attn(x)))."""
+    """Post-LN BERT attention block: out = LN(x + dense(attn(x))).
+    Cross-attention = same module with kv from the image tokens."""
 
     cfg: BlipTextConfig
-    cross: bool = False
 
     @nn.compact
     def __call__(self, x, kv, mask):
@@ -94,8 +94,7 @@ class BlipTextLayer(nn.Module):
         c = self.cfg
         x = _BertAttention(c, name="self_attn")(x, x, attn_mask)
         if image_tokens is not None:
-            x = _BertAttention(c, cross=True, name="cross_attn")(
-                x, image_tokens, None)
+            x = _BertAttention(c, name="cross_attn")(x, image_tokens, None)
         h = nn.Dense(c.intermediate_size, dtype=c.dtype,
                      param_dtype=jnp.float32, name="intermediate")(x)
         h = nn.gelu(h, approximate=False)
