@@ -560,5 +560,7 @@ class GRPOTrainer:
         if self.reward_ctx is not None:
             if self.disc.kind == "pickscore":
                 self.reward_ctx.pickscore_params = self.disc.params
+            elif self.disc.kind == "dino_multi":
+                self.reward_ctx.dino_multi_params = self.disc.params
             else:
                 self.reward_ctx.dino_head_params = self.disc.params
