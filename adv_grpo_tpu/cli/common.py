@@ -86,13 +86,19 @@ def build_pipeline(config, latent_hw: Optional[int] = None):
     model_dir = str(config.pretrained.model)
     lora_rank = int(config.train.lora_rank) if config.use_lora else 0
     smoke = bool(config.get("smoke_test", False))
+    # compute/params dtype: tpu.compute_dtype wins, else mixed_precision
+    # ("fp16" maps to bf16 — fp16 has no TPU advantage and worse range)
+    want = str(config.tpu.get("compute_dtype", "")
+               or config.get("mixed_precision", "bf16"))
+    dtype = jnp.float32 if want in ("fp32", "float32", "no") else jnp.bfloat16
     if model_dir and os.path.isdir(model_dir):
         return SD3Pipeline.from_pretrained(
             model_dir, lora_rank=lora_rank,
-            lora_alpha=float(config.train.lora_alpha))
+            lora_alpha=float(config.train.lora_alpha), dtype=dtype)
     if model_dir and not smoke:
         raise FileNotFoundError(
-            f"config.pretrained.model={model_dir!r} is not a local converted "
+            f"config.pretrained.model={model_dir!r} (revision "
+            f"{str(config.pretrained.revision)!r}) is not a local converted "
             f"weights directory. Convert the HF checkpoint first "
             f"(python -m adv_grpo_tpu.models.convert --src <hf_dir> --dst "
             f"<local_dir>), or set smoke_test=True / pretrained.model='' for "

@@ -43,7 +43,13 @@ def build_trainer(config, latent_hw=None, dataset=None):
     if dataset is None:
         ds_dir = str(config.dataset)
         limit = config.get("limit", None)
-        if os.path.exists(os.path.join(ds_dir, "train_metadata.jsonl")):
+        # config.prompt_fn selects the dataset flavour (reference
+        # train_sd3_fast_pickscore.py:569 general_ocr -> TextPromptDataset,
+        # :601 geneval -> GenevalPromptDataset); file-presence detection stays
+        # the fallback for other prompt_fn values.
+        pf = str(config.get("prompt_fn", ""))
+        if pf == "geneval" or (pf != "general_ocr" and os.path.exists(
+                os.path.join(ds_dir, "train_metadata.jsonl"))):
             dataset = GenevalPromptDataset(ds_dir, "train", limit=limit)
         else:
             dataset = TextPromptDataset(ds_dir, "train", limit=limit)
@@ -115,6 +121,15 @@ def main(argv=None):
     from adv_grpo_tpu.cli.common import apply_overrides, resolve_config
 
     config = apply_overrides(resolve_config(args.config), args.set)
+    if not str(config.save_dir):
+        # reference run layout: logdir/run_name(+unique timestamp)
+        # (train_sd3_fast_pickscore.py:405-414)
+        import datetime
+
+        unique = datetime.datetime.now().strftime("%Y.%m.%d_%H.%M.%S")
+        run = str(config.run_name)
+        config.run_name = (run + "_" + unique) if run else unique
+        config.save_dir = os.path.join(str(config.logdir), config.run_name)
     trainer = build_trainer(config, latent_hw=args.latent_hw)
     eval_prompts = None
     try:

@@ -67,6 +67,10 @@ def get_config() -> ml_collections.ConfigDict:
     train.ema_decay = 0.9
     train.ema_interval = 8
 
+    # prompt_fn selects the dataset flavour (general_ocr -> text prompts,
+    # geneval -> metadata jsonl; reference train_sd3_fast_pickscore.py:569,601).
+    # prompt_fn_kwargs is schema parity only — dead in the reference too (its
+    # prompts.py generators are never wired into the shipped trainers).
     config.prompt_fn = "imagenet_animals"
     config.prompt_fn_kwargs = {}
     config.reward_fn = ml_collections.ConfigDict()
@@ -89,6 +93,8 @@ def get_config() -> ml_collections.ConfigDict:
     config.json_path = ""  # prompt -> [reference image files] JSON
     config.reference_image_path = ""
     config.test_reference_image_path = ""
+    # external image for the distribution-transfer entry (cli.infer --image /
+    # rollout.sampler.denoise_from_image; reference flux_to_sd3_denoise)
     config.external_image_path = ""
     config.case_name = ""
     config.max_global_step = 1000  # reference stop condition (trainer :709)

@@ -80,7 +80,8 @@ class GRPOTrainer:
         self.reference_store = reference_store
         self.disc = discriminator
         self.reward_ctx = reward_ctx  # live co-trained params flow back here
-        self.mesh = mesh or make_mesh()
+        self.mesh = mesh or make_mesh(
+            axes=tuple(config.tpu.mesh_axes) or ("data",))
         self.latent_hw = latent_hw
         self.n_dev = len(self.mesh.devices.flatten())
         self._repl = replicated(self.mesh)
@@ -134,6 +135,11 @@ class GRPOTrainer:
         self.prompt_sampler = DistributedKRepeatSampler(
             len(dataset), batch_size=int(s.train_batch_size), k=self.k,
             num_replicas=self.n_dev, rank=0, seed=int(config.seed))
+        # group size 1 has no within-group variance: the reference forces
+        # per-prompt tracking OFF and normalises over ALL rewards instead
+        # (train_sd3_fast_pickscore.py:639-640, :995)
+        self.per_prompt_stats = (bool(config.per_prompt_stat_tracking)
+                                 and int(s.num_image_per_prompt) > 1)
         self.tracker = PerPromptStatTracker(global_std=bool(s.global_std))
         self.logger = logger or MetricLogger(
             config.save_dir, wandb_init=bool(config.wandb_init),
@@ -454,9 +460,16 @@ class GRPOTrainer:
             g_ids, local_sl = gather_global(samples["prompt_ids"])
             g_avg, _ = gather_global(
                 np.asarray(samples["rewards"]["avg"], np.float32))
-            advantages, group_stats = compute_advantages(
-                self.tracker, g_ids, g_avg,
-                algorithm=str(cfg.train.algorithm))
+            if self.per_prompt_stats:
+                advantages, group_stats = compute_advantages(
+                    self.tracker, g_ids, g_avg,
+                    algorithm=str(cfg.train.algorithm))
+            else:
+                # global normalisation over the whole gathered batch
+                # (reference else-branch, train_sd3_fast_pickscore.py:995)
+                advantages = ((g_avg - g_avg.mean())
+                              / (g_avg.std() + 1e-4)).astype(np.float32)
+                group_stats = {}
             advantages = advantages[local_sl]
 
             metrics = {f"reward_{k}": float(np.mean(v))

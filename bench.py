@@ -17,6 +17,12 @@ double-counts, since each token only traverses its own stream).
 
 MFU is reported against the detected chip's bf16 peak and must be < 1.0.
 
+Timing methodology: each phase runs K back-to-back iterations inside ONE jit
+(lax.scan + on-device scalar reduction) so the axon tunnel's per-call host
+overhead (~0.4 s to pass the 4.4GB frozen tree as args + ~0.4 s to return the
+rollout's output buffers — measured by scripts/profile_rollout.py bisection)
+amortises below 2%; a colocated production host does not pay it at all.
+
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
 the denominator is its modeled rate normalized per chip class: 3.5 img/s on a
 990-TFLOP H100 at 40% MFU scales to ``3.5 * peak_chip / 990e12`` on this chip
@@ -145,12 +151,31 @@ def main():
 
     sample_fn = make_sample_fn(pipe, scfg, latent_hw)
 
+    # Device-time measurement: K back-to-back rollouts inside ONE jit, reduced
+    # to a scalar on-device. Measured on this axon tunnel: per-call host
+    # overhead is ~0.38 s for passing the 4.4GB frozen tree as args plus
+    # ~0.39 s for returning the rollout's output buffers — pure tunnel
+    # artifacts a colocated production host does not pay. Scanning K rollouts
+    # per call amortises them to <2% (scripts/profile_rollout.py isolates the
+    # phases; /tmp probes bisected the artifact).
+    K_ROLL = 4
+
+    @jax.jit
+    def rollout_k(lora, frozen, embeds, pooled, neg_e, neg_p, key, rt):
+        def body(acc, i):
+            out, images = sample_fn(lora, frozen, embeds, pooled, neg_e,
+                                    neg_p, jax.random.fold_in(key, i), rt)
+            acc = (acc + jnp.sum(images.astype(jnp.float32))
+                   + jnp.sum(out.log_probs) + jnp.sum(out.latents))
+            return acc, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K_ROLL))
+        return acc
+
     def rollout_once(k):
-        out, images = sample_fn(lora, frozen, embeds, pooled, neg_e, neg_p,
-                                k, rt)
         # host-sync scalar pull: the only reliable completion barrier on the
         # axon tunnel (block_until_ready returns early there)
-        return float(jnp.sum(images.astype(jnp.float32)))
+        return float(rollout_k(lora, frozen, embeds, pooled, neg_e, neg_p,
+                               k, rt))
 
     rollout_once(key)  # compile + warmup
     times = []
@@ -159,7 +184,7 @@ def main():
         t0 = time.perf_counter()
         rollout_once(k)
         times.append(time.perf_counter() - t0)
-    dt_rollout = sorted(times)[1]  # median of 3
+    dt_rollout = sorted(times)[1] / K_ROLL  # median of 3, per-rollout
 
     # FLOPs: analytic scan-aware count. XLA's cost_analysis counts the
     # lax.scan BODY once (verified: it reports ~1/10th of the 10-step loop),
@@ -184,10 +209,19 @@ def main():
     rt_mid = num_steps // 4  # E[window start] over U{0..num_steps//2}
     sp_fn = make_shared_prefix_sample_fn(pipe, scfg, latent_hw, mini)
 
+    @jax.jit
+    def sp_k(lora, frozen, embeds, pooled, neg_e, neg_p, key):
+        def body(acc, i):
+            out, images = sp_fn(lora, frozen, embeds, pooled, neg_e, neg_p,
+                                jax.random.fold_in(key, i), rt_mid)
+            acc = (acc + jnp.sum(images.astype(jnp.float32))
+                   + jnp.sum(out.log_probs) + jnp.sum(out.latents))
+            return acc, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K_ROLL))
+        return acc
+
     def sp_once(k):
-        out, images = sp_fn(lora, frozen, embeds, pooled, neg_e, neg_p, k,
-                            rt_mid)
-        return float(jnp.sum(images.astype(jnp.float32)))
+        return float(sp_k(lora, frozen, embeds, pooled, neg_e, neg_p, k))
 
     sp_once(key)
     sp_times = []
@@ -195,7 +229,7 @@ def main():
         t0 = time.perf_counter()
         sp_once(jax.random.fold_in(key, 100 + rep))
         sp_times.append(time.perf_counter() - t0)
-    dt_sp = sorted(sp_times)[1]
+    dt_sp = sorted(sp_times)[1] / K_ROLL
     sp_imgs_per_sec = batch / dt_sp
 
     # ── train microstep: one minibatch x T window steps (fwd+bwd+opt) ──
@@ -207,14 +241,18 @@ def main():
     state = create_generator_state(lora, train_cfg, train_T)
     train_fn = make_train_epoch_fn(pipe, scfg, train_cfg)
     C = mcfg.in_channels
+    # 4 minibatches x T window steps = 8 microsteps per compiled call: the
+    # per-call tunnel overhead (~0.4 s arg passing) amortises to ~5%.
+    N_MINI = 4
+    tile = lambda a: jnp.broadcast_to(a[None], (N_MINI,) + a.shape)
     samples = dict(
-        latents=jnp.zeros((1, batch, train_T + 1, C, latent_hw, latent_hw)),
-        log_probs=jnp.zeros((1, batch, train_T)),
-        timesteps=jnp.full((1, batch, train_T), 500.0),
-        sigmas=jnp.full((1, batch, train_T), 0.5),
-        sigmas_prev=jnp.full((1, batch, train_T), 0.4),
-        advantages=jnp.ones((1, batch)),
-        embeds=embeds[None], pooled=pooled[None])
+        latents=jnp.zeros((N_MINI, batch, train_T + 1, C, latent_hw, latent_hw)),
+        log_probs=jnp.zeros((N_MINI, batch, train_T)),
+        timesteps=jnp.full((N_MINI, batch, train_T), 500.0),
+        sigmas=jnp.full((N_MINI, batch, train_T), 0.5),
+        sigmas_prev=jnp.full((N_MINI, batch, train_T), 0.4),
+        advantages=jnp.ones((N_MINI, batch)),
+        embeds=tile(embeds), pooled=tile(pooled))
 
     def train_once(st):
         new_state, info = train_fn(st, frozen, samples, neg_e, neg_p)
@@ -225,7 +263,7 @@ def main():
     t0 = time.perf_counter()
     train_once(st)
     dt_train_epoch = time.perf_counter() - t0
-    dt_microstep = dt_train_epoch / train_T
+    dt_microstep = dt_train_epoch / (N_MINI * train_T)
 
     # ── reward throughput: jitted PickScore (CLIP-H) on image batches ──
     from adv_grpo_tpu.rewards.scorers import PickScoreScorer
@@ -245,15 +283,25 @@ def main():
     ps_params = ps_materialise()
     imgs = jnp.full((batch, 3, img_hw, img_hw), 0.1, jnp.float32)
 
+    K_RWD = 8
+
+    @jax.jit
+    def reward_k(params, x, ids):
+        def body(acc, i):
+            s = ps.score(params, x + 0.01 * i.astype(jnp.float32), ids)
+            return acc + jnp.sum(s), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K_RWD))
+        return acc
+
     def reward_once(x):
-        return float(jnp.sum(ps.score(ps_params, x, ids)))
+        return float(reward_k(ps_params, x, ids))
 
     reward_once(imgs)
     t0 = time.perf_counter()
-    reps = 4
+    reps = 2
     for rep in range(reps):
         reward_once(imgs + 0.01 * (rep + 1))
-    dt_reward = (time.perf_counter() - t0) / reps
+    dt_reward = (time.perf_counter() - t0) / (reps * K_RWD)
     reward_evals_per_sec = batch / dt_reward
 
     baseline = REF_IMG_PER_SEC_H100 * peak / H100_PEAK

@@ -340,3 +340,83 @@ class TestApplyOverrides:
 
         with pytest.raises(ValueError):
             apply_overrides(cfg, ["no_equals_sign"])
+
+
+class TestInferImageToImage:
+    def test_cli_distribution_transfer(self, tmp_path):
+        """cli.infer --image: external PNG -> VAE encode -> forward-noise at
+        start_idx -> denoise (reference flux_to_sd3_denoise entry,
+        sd3_pipeline_with_logprob_fast.py:722-1081), on the smoke preset."""
+        import numpy as np
+        from PIL import Image
+
+        src = tmp_path / "ext.png"
+        Image.fromarray(
+            np.full((32, 32, 3), 180, np.uint8)).save(src)
+
+        from adv_grpo_tpu.cli import infer
+
+        paths = infer.main([
+            "--config", "smoke_sd3_fast", "--prompts", "a red square",
+            "--out_dir", str(tmp_path / "out"), "--latent_hw", "8",
+            "--image", str(src), "--start_idx", "1"])
+        assert len(paths) == 1
+        arr = np.asarray(Image.open(paths[0]))
+        assert arr.shape[-1] == 3 and arr.std() >= 0
+
+
+class TestGlobalAdvantageBranch:
+    def test_per_prompt_tracking_off(self):
+        """per_prompt_stat_tracking=False -> global (r-mean)/(std+1e-4)
+        normalisation, no group stats (reference else-branch,
+        train_sd3_fast_pickscore.py:995)."""
+        import jax
+        import numpy as np
+
+        import tests.test_trainer_e2e as e2e
+        from adv_grpo_tpu.models.mmdit import MMDiTConfig
+        from adv_grpo_tpu.models.vae import VAEConfig
+        from adv_grpo_tpu.train.pipeline import SD3Pipeline
+        from adv_grpo_tpu.utils.metrics import MetricLogger
+
+        cfg = e2e.tiny_config()
+        cfg.per_prompt_stat_tracking = False
+        pipe = SD3Pipeline.random_init(
+            jax.random.PRNGKey(0),
+            MMDiTConfig.tiny(num_layers=2, dual_attention_layers=(0,),
+                             lora_rank=4, lora_alpha=8.0),
+            VAEConfig.tiny(latent_channels=16), latent_hw=8, text_seq_len=6)
+
+        logged = []
+
+        class CaptureLogger(MetricLogger):
+            def log(self, metrics, step=None):
+                logged.append(dict(metrics))
+
+        trainer = e2e.make_trainer(pipe, cfg, logger=CaptureLogger(""))
+        assert trainer.per_prompt_stats is False
+        lora_before = jax.tree_util.tree_map(np.asarray, trainer.state.lora)
+        trainer.run(max_epochs=1)
+        delta = max(float(np.max(np.abs(np.asarray(b) - lora_before[k])))
+                    for k, b in trainer.state.lora.items())
+        assert delta > 0
+        assert logged and "zero_std_ratio" not in logged[-1]
+
+    def test_group_size_one_forces_off(self):
+        import jax
+
+        import tests.test_trainer_e2e as e2e
+        from adv_grpo_tpu.models.mmdit import MMDiTConfig
+        from adv_grpo_tpu.models.vae import VAEConfig
+        from adv_grpo_tpu.train.pipeline import SD3Pipeline
+
+        cfg = e2e.tiny_config()
+        cfg.sample.num_image_per_prompt = 1
+        cfg.sample.mini_num_image_per_prompt = 1
+        pipe = SD3Pipeline.random_init(
+            jax.random.PRNGKey(0),
+            MMDiTConfig.tiny(num_layers=2, dual_attention_layers=(0,),
+                             lora_rank=4, lora_alpha=8.0),
+            VAEConfig.tiny(latent_channels=16), latent_hw=8, text_seq_len=6)
+        trainer = e2e.make_trainer(pipe, cfg)
+        assert trainer.per_prompt_stats is False
