@@ -16,9 +16,10 @@ Architecture parity targets (module semantics, not code):
   * AdaLayerNormContinuous head -> linear to patch^2 * out_channels -> unpatchify
 
 TPU design notes:
-  * attention runs through adv_grpo_tpu.ops.attention.mha (Pallas flash kernel
-    on TPU); the joint sequence is zero-padded to a 128 multiple and key padding
-    masked with a static kv_len — no dynamic shapes under jit
+  * attention runs through adv_grpo_tpu.ops.attention.mha_bshd (Pallas flash
+    kernel on TPU) directly in the (B, S, H*d) projection layout — no
+    transposes, and padding to a 128-multiple fuses into the single img‖txt
+    concat (key padding masked with a static kv_len; no dynamic shapes)
   * compute dtype bf16 end-to-end, params fp32; all matmuls MXU-shaped
   * LoRA on the 8 joint-attention projections via models.lora.LoRADense with a
     runtime lora_scale (reference PEFT config train_sd3_fast_pickscore.py:490-511)
@@ -38,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adv_grpo_tpu.models.lora import LoRADense
-from adv_grpo_tpu.ops.attention import mha
+from adv_grpo_tpu.ops.attention import mha_bshd
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,38 +201,45 @@ class JointAttention(nn.Module):
             return LoRADense(dim, lora_rank=c.lora_rank, lora_alpha=c.lora_alpha,
                              dtype=c.dtype, name=name)(inp, lora_scale=lora_scale)
 
-        q = proj("to_q", x).reshape(B, s_img, H, d)
-        k = proj("to_k", x).reshape(B, s_img, H, d)
-        v = proj("to_v", x).reshape(B, s_img, H, d)
-        cq = proj("add_q_proj", ctx).reshape(B, s_txt, H, d)
-        ck = proj("add_k_proj", ctx).reshape(B, s_txt, H, d)
-        cv = proj("add_v_proj", ctx).reshape(B, s_txt, H, d)
+        def head_norm(t, s, name):
+            # per-head RMS over d; (B,s,dim)<->(B,s,H,d) reshapes are free
+            return RMSNorm(d, dtype=c.dtype, name=name)(
+                t.reshape(B, s, H, d)).reshape(B, s, dim)
+
+        q = proj("to_q", x)  # (B, s_img, dim) — kept in BSHD layout throughout
+        k = proj("to_k", x)
+        v = proj("to_v", x)
+        cq = proj("add_q_proj", ctx)
+        ck = proj("add_k_proj", ctx)
+        cv = proj("add_v_proj", ctx)
 
         if c.qk_norm:
-            q = RMSNorm(d, dtype=c.dtype, name="norm_q")(q)
-            k = RMSNorm(d, dtype=c.dtype, name="norm_k")(k)
-            cq = RMSNorm(d, dtype=c.dtype, name="norm_added_q")(cq)
-            ck = RMSNorm(d, dtype=c.dtype, name="norm_added_k")(ck)
+            q = head_norm(q, s_img, "norm_q")
+            k = head_norm(k, s_img, "norm_k")
+            cq = head_norm(cq, s_txt, "norm_added_q")
+            ck = head_norm(ck, s_txt, "norm_added_k")
 
-        # joint sequence: image tokens first, then text
-        q = jnp.concatenate([q, cq], axis=1).transpose(0, 2, 1, 3)
-        k = jnp.concatenate([k, ck], axis=1).transpose(0, 2, 1, 3)
-        v = jnp.concatenate([v, cv], axis=1).transpose(0, 2, 1, 3)
-
+        # joint sequence: image tokens, text tokens, zero tail to a 128
+        # multiple — ONE concat per tensor; attention runs transpose-free in
+        # (B, S, H*d) (device traces: the BHSD transpose+pad+unpad copies cost
+        # ~25% of an MMDiT forward)
         s_tot = s_img + s_txt
         pad = (-s_tot) % 128
-        if pad:
-            padw = ((0, 0), (0, 0), (0, pad), (0, 0))
-            q, k, v = (jnp.pad(a, padw) for a in (q, k, v))
-        o = mha(q, k, v, kv_len=s_tot, backend=c.attention_backend)
-        o = o[:, :, :s_tot].transpose(0, 2, 1, 3).reshape(B, s_tot, dim)
+        def joint(a, ca):
+            parts = [a, ca]
+            if pad:
+                parts.append(jnp.zeros((B, pad, dim), a.dtype))
+            return jnp.concatenate(parts, axis=1)
+
+        o = mha_bshd(joint(q, cq), joint(k, ck), joint(v, cv), num_heads=H,
+                     kv_len=s_tot, backend=c.attention_backend)
 
         x_out = LoRADense(dim, lora_rank=c.lora_rank, lora_alpha=c.lora_alpha,
                           dtype=c.dtype, name="to_out")(o[:, :s_img], lora_scale=lora_scale)
         if self.context_pre_only:
             return x_out, None
         ctx_out = LoRADense(dim, lora_rank=c.lora_rank, lora_alpha=c.lora_alpha,
-                            dtype=c.dtype, name="to_add_out")(o[:, s_img:], lora_scale=lora_scale)
+                            dtype=c.dtype, name="to_add_out")(o[:, s_img:s_tot], lora_scale=lora_scale)
         return x_out, ctx_out
 
 
@@ -249,20 +257,24 @@ class DualSelfAttention(nn.Module):
         B, s, _ = x.shape
         dense = lambda name: nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
                                       name=name)
-        q = dense("to_q")(x).reshape(B, s, H, d)
-        k = dense("to_k")(x).reshape(B, s, H, d)
-        v = dense("to_v")(x).reshape(B, s, H, d)
+        q = dense("to_q")(x)  # (B, s, dim), BSHD layout end to end
+        k = dense("to_k")(x)
+        v = dense("to_v")(x)
         if c.qk_norm:
-            q = RMSNorm(d, dtype=c.dtype, name="norm_q")(q)
-            k = RMSNorm(d, dtype=c.dtype, name="norm_k")(k)
-        q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+            q = RMSNorm(d, dtype=c.dtype, name="norm_q")(
+                q.reshape(B, s, H, d)).reshape(B, s, dim)
+            k = RMSNorm(d, dtype=c.dtype, name="norm_k")(
+                k.reshape(B, s, H, d)).reshape(B, s, dim)
         pad = (-s) % 128
         if pad:
-            padw = ((0, 0), (0, 0), (0, pad), (0, 0))
-            q, k, v = (jnp.pad(a, padw) for a in (q, k, v))
-        o = mha(q, k, v, kv_len=s, backend=c.attention_backend)
-        o = o[:, :, :s].transpose(0, 2, 1, 3).reshape(B, s, dim)
-        return dense("to_out")(o)
+            zt = lambda a: jnp.concatenate(
+                [a, jnp.zeros((B, pad, dim), a.dtype)], axis=1)
+            q, k, v = zt(q), zt(k), zt(v)
+        # at 512^2 the image stream is 1024 tokens — already 128-aligned, so
+        # this attention runs with ZERO layout copies
+        o = mha_bshd(q, k, v, num_heads=H, kv_len=s,
+                     backend=c.attention_backend)
+        return dense("to_out")(o[:, :s] if pad else o)
 
 
 class JointBlock(nn.Module):

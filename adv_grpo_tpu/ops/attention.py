@@ -14,6 +14,13 @@ Public API:
     pass the true length. Padded *query* rows produce unnormalised garbage the
     caller slices off; their output cotangents are zero, so gradients stay exact.
 
+  mha_bshd(q, k, v, *, num_heads, sm_scale=None, kv_len=None) -> o
+    q,k,v: (B, S, H*D) — the layout qkv projections produce. The kernel grid
+    indexes head h as a D-wide column block, so NO transpose to (B, H, S, D)
+    and no per-tensor pad/unpad copies are materialised. Device traces showed
+    the layout churn around mha() costing ~25% of an MMDiT forward; this
+    entry point eliminates it.
+
 Numerics: QK^T, softmax stats, and accumulation in fp32 (bf16 inputs supported);
 mask value is -0.7*f32max per the NaN-avoidance rule.
 
@@ -83,6 +90,17 @@ def attention_reference(q, k, v, *, sm_scale, kv_len=None):
 # ───────────────────────────── forward kernel ─────────────────────────────
 
 
+def _tile(ref):
+    """Block tile as 2D — blocks are (1, 1, s, d) in BHSD mode and (1, s, d)
+    in BSHD mode; the kernel math is layout-agnostic."""
+    a = ref[...]
+    return a.reshape(a.shape[-2], a.shape[-1])
+
+
+def _store_tile(ref, val):
+    ref[...] = val.reshape(ref.shape).astype(ref.dtype)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
                 *, sm_scale, kv_len, block_kv, num_kv_blocks):
     # lse_ref is None on the inference path (no residuals to save): the
@@ -96,8 +114,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0]  # (bq, d)
-    k = k_ref[0, 0]  # (bkv, d)
+    q = _tile(q_ref)  # (bq, d)
+    k = _tile(k_ref)  # (bkv, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale  # (bq, bkv)
@@ -116,7 +134,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     m_scr[...] = m_next
     l_scr[...] = l_next
 
-    v = v_ref[0, 0]
+    v = _tile(v_ref)
     pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
@@ -124,7 +142,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     def _store():
         l_fin = l_scr[:, :1]
         l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        _store_tile(o_ref, acc_scr[...] * l_inv)
         if lse_ref is not None:
             lse_ref[0, 0] = m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-37))
 
@@ -190,10 +208,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = _tile(q_ref)
+    k = _tile(k_ref)
+    v = _tile(v_ref)
+    do = _tile(do_ref).astype(jnp.float32)
     lse = lse_ref[0, 0][:, :1]  # (bq, 1)
     di = di_ref[0, 0][:, :1]
 
@@ -220,8 +238,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _store():
-        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+        _store_tile(dk_ref, dk_scr[...])
+        _store_tile(dv_ref, dv_scr[...])
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
@@ -232,10 +250,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = _tile(q_ref)
+    k = _tile(k_ref)
+    v = _tile(v_ref)
+    do = _tile(do_ref).astype(jnp.float32)
     lse = lse_ref[0, 0][:, :1]
     di = di_ref[0, 0][:, :1]
 
@@ -257,7 +275,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
-        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+        _store_tile(dq_ref, dq_scr[...])
 
 
 def _flash_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv, interpret):
@@ -311,6 +329,336 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv, interpr
         interpret=interpret,
     )(q, k, v, do, lse, di)
     return dq, dk, dv
+
+
+# ─────────────────────── BSHD (transpose-free) entry ───────────────────────
+# q/k/v stay in the (B, S, H*D) projection layout. Mosaic requires block
+# last-dims divisible by 128, so the grid walks head GROUPS of 128 columns
+# (= 128//D heads, e.g. 2 for D=64) and the kernels unroll a static loop over
+# the sub-heads of the group. lse/di keep a (B, H, S, 128) stat layout.
+
+
+def _bshd_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
+                     acc_scr, *, sm_scale, kv_len, block_kv, num_kv_blocks,
+                     d, hpb):
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (bq, hpb*d)
+    k = k_ref[0]  # (bkv, hpb*d)
+    v = v_ref[0]
+    for i in range(hpb):
+        qi = q[:, i * d:(i + 1) * d]
+        ki = k[:, i * d:(i + 1) * d]
+        s = jax.lax.dot_general(
+            qi, ki, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # (bq, bkv)
+        if kv_len is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+            s = jnp.where(col < kv_len, s, DEFAULT_MASK_VALUE)
+        m_prev = m_scr[i]  # (bq, 128)
+        l_prev = l_scr[i]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[i] = m_next
+        l_scr[i] = l_next
+        pv = jax.lax.dot(p.astype(v.dtype), v[:, i * d:(i + 1) * d],
+                         preferred_element_type=jnp.float32)
+        acc_scr[i] = acc_scr[i] * alpha[:, :1] + pv
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        outs = []
+        for i in range(hpb):
+            l_fin = l_scr[i][:, :1]
+            l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+            outs.append(acc_scr[i] * l_inv)
+            if lse_ref is not None:
+                lse_ref[0, i] = m_scr[i] + jnp.log(jnp.maximum(l_scr[i], 1e-37))
+        o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _bshd_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref,
+                         dv_ref, dk_scr, dv_scr, *, sm_scale, kv_len,
+                         block_kv, num_q_blocks, d, hpb):
+    q_idx = pl.program_id(3)
+    kv_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    for i in range(hpb):
+        qi = q[:, i * d:(i + 1) * d]
+        ki = k[:, i * d:(i + 1) * d]
+        vi = v[:, i * d:(i + 1) * d]
+        doi = do[:, i * d:(i + 1) * d]
+        lse = lse_ref[0, i][:, :1]  # (bq, 1)
+        di = di_ref[0, i][:, :1]
+        s = jax.lax.dot_general(
+            qi, ki, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        if kv_len is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+            s = jnp.where(col < kv_len, s, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s - lse)  # (bq, bkv)
+        dv_scr[i] += jax.lax.dot_general(
+            p, doi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            doi, vi.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - di) * sm_scale
+        dk_scr[i] += jax.lax.dot_general(
+            ds, qi.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _store():
+        dk_ref[0] = jnp.concatenate([dk_scr[i] for i in range(hpb)],
+                                    axis=1).astype(dk_ref.dtype)
+        dv_ref[0] = jnp.concatenate([dv_scr[i] for i in range(hpb)],
+                                    axis=1).astype(dv_ref.dtype)
+
+
+def _bshd_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
+                        dq_scr, *, sm_scale, kv_len, block_kv, num_kv_blocks,
+                        d, hpb):
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    for i in range(hpb):
+        qi = q[:, i * d:(i + 1) * d]
+        ki = k[:, i * d:(i + 1) * d]
+        vi = v[:, i * d:(i + 1) * d]
+        doi = do[:, i * d:(i + 1) * d]
+        lse = lse_ref[0, i][:, :1]
+        di = di_ref[0, i][:, :1]
+        s = jax.lax.dot_general(
+            qi, ki, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        if kv_len is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+            s = jnp.where(col < kv_len, s, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            doi, vi.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - di) * sm_scale
+        dq_scr[i] += jax.lax.dot(
+            ds, ki.astype(jnp.float32), preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0] = jnp.concatenate([dq_scr[i] for i in range(hpb)],
+                                    axis=1).astype(dq_ref.dtype)
+
+
+def _bshd_group_geometry(hd: int, num_heads: int):
+    d = hd // num_heads
+    if d > 128 or 128 % d or hd % 128:
+        return None  # fall back to the BHSD layout path
+    hpb = 128 // d  # heads per 128-wide column group
+    return d, hpb
+
+
+def _bshd_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret,
+              save_residuals, num_heads):
+    b, sq, hd = q.shape
+    d, hpb = _bshd_group_geometry(hd, num_heads)
+    skv = k.shape[1]
+    bq, bkv = _pick_qkv_blocks(sq, skv, block_q, block_kv,
+                               budget=_SCORES_VMEM_BUDGET // hpb)
+    nkv = skv // bkv
+    ngroups = num_heads // hpb
+    grid = (b, ngroups, sq // bq, nkv)
+    kernel = functools.partial(
+        _bshd_fwd_kernel, sm_scale=sm_scale, kv_len=kv_len, block_kv=bkv,
+        num_kv_blocks=nkv, d=d, hpb=hpb)
+    if not save_residuals:
+        kernel = functools.partial(
+            lambda q_, k_, v_, o_, m, l, a, kern=None: kern(q_, k_, v_, o_, None, m, l, a),
+            kern=kernel,
+        )
+    qspec = pl.BlockSpec((1, bq, 128), lambda b_, g_, qi, ki: (b_, qi, g_),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, bkv, 128), lambda b_, g_, qi, ki: (b_, ki, g_),
+                          memory_space=pltpu.VMEM)
+    out_specs = [qspec]
+    out_shape = [jax.ShapeDtypeStruct((b, sq, hd), q.dtype)]
+    if save_residuals:
+        out_specs.append(pl.BlockSpec(
+            (1, hpb, bq, 128), lambda b_, g_, qi, ki: (b_, g_, qi, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, num_heads, sq, 128),
+                                              jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((hpb, bq, 128), jnp.float32),
+            pltpu.VMEM((hpb, bq, 128), jnp.float32),
+            pltpu.VMEM((hpb, bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if save_residuals:
+        return outs[0], outs[1]
+    return outs[0], None
+
+
+def _bshd_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv,
+              interpret, num_heads):
+    b, sq, hd = q.shape
+    d, hpb = _bshd_group_geometry(hd, num_heads)
+    skv = k.shape[1]
+    bq, bkv = _pick_qkv_blocks(sq, skv, block_q, block_kv,
+                               budget=_SCORES_VMEM_BUDGET_BWD // hpb)
+    ngroups = num_heads // hpb
+    # di = sum_d(o * do) per (b, head, row): tiny (B, S, H) reduce + transpose
+    di = jnp.sum((o.astype(jnp.float32) * do.astype(jnp.float32))
+                 .reshape(b, sq, num_heads, d), axis=-1)
+    di = jnp.broadcast_to(di.transpose(0, 2, 1)[..., None],
+                          (b, num_heads, sq, 128))
+
+    qspec = pl.BlockSpec((1, bq, 128), lambda b_, g_, ki, qi: (b_, qi, g_),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, bkv, 128), lambda b_, g_, ki, qi: (b_, ki, g_),
+                         memory_space=pltpu.VMEM)
+    statspec = pl.BlockSpec((1, hpb, bq, 128),
+                            lambda b_, g_, ki, qi: (b_, g_, qi, 0),
+                            memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bshd_bwd_dkv_kernel, sm_scale=sm_scale,
+                          kv_len=kv_len, block_kv=bkv, num_q_blocks=sq // bq,
+                          d=d, hpb=hpb),
+        grid=(b, ngroups, skv // bkv, sq // bq),
+        in_specs=[qspec, kspec, kspec, qspec, statspec, statspec],
+        out_specs=[
+            pl.BlockSpec((1, bkv, 128), lambda b_, g_, ki, qi: (b_, ki, g_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, 128), lambda b_, g_, ki, qi: (b_, ki, g_),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hpb, bkv, d), jnp.float32),
+            pltpu.VMEM((hpb, bkv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, di)
+
+    qspec2 = pl.BlockSpec((1, bq, 128), lambda b_, g_, qi, ki: (b_, qi, g_),
+                          memory_space=pltpu.VMEM)
+    kspec2 = pl.BlockSpec((1, bkv, 128), lambda b_, g_, qi, ki: (b_, ki, g_),
+                          memory_space=pltpu.VMEM)
+    statspec2 = pl.BlockSpec((1, hpb, bq, 128),
+                             lambda b_, g_, qi, ki: (b_, g_, qi, 0),
+                             memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bshd_bwd_dq_kernel, sm_scale=sm_scale,
+                          kv_len=kv_len, block_kv=bkv,
+                          num_kv_blocks=skv // bkv, d=d, hpb=hpb),
+        grid=(b, ngroups, sq // bq, skv // bkv),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, statspec2, statspec2],
+        out_specs=qspec2,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((hpb, bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, di)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_mha_bshd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret,
+                    num_heads):
+    o, _ = _bshd_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret,
+                     save_residuals=False, num_heads=num_heads)
+    return o
+
+
+def _flash_mha_bshd_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv,
+                        interpret, num_heads):
+    o, lse = _bshd_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret,
+                       save_residuals=True, num_heads=num_heads)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_mha_bshd_bwd(sm_scale, kv_len, block_q, block_kv, interpret,
+                        num_heads, res, do):
+    q, k, v, o, lse = res
+    return _bshd_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv,
+                     interpret, num_heads)
+
+
+_flash_mha_bshd.defvjp(_flash_mha_bshd_fwd, _flash_mha_bshd_bwd)
+
+
+def mha_bshd(q, k, v, *, num_heads, sm_scale=None, kv_len=None, block_q=_BQ,
+             block_kv=_BKV, backend=None):
+    """Multi-head attention on (B, S, H*D) tensors — no layout transposes.
+
+    S must be a multiple of the chosen block size (callers concat a zero tail
+    once); ``kv_len`` masks the padded keys. Semantics identical to mha().
+    Falls back to transpose + BHSD kernels when head_dim doesn't tile into
+    128-wide column groups.
+    """
+    b, sq, hd = q.shape
+    d = hd // num_heads
+    skv = k.shape[1]
+    if sm_scale is None:
+        sm_scale = d**-0.5
+    if kv_len is not None and kv_len >= skv:
+        kv_len = None
+    if backend is None:
+        platform = jax.devices()[0].platform
+        backend = "pallas" if platform == "tpu" else "reference"
+    to4 = lambda a, s: a.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3)
+    if backend == "reference":
+        o = attention_reference(to4(q, sq), to4(k, skv), to4(v, skv),
+                                sm_scale=sm_scale, kv_len=kv_len)
+        return o.transpose(0, 2, 1, 3).reshape(b, sq, hd)
+    interpret = backend == "pallas_interpret"
+    if _bshd_group_geometry(hd, num_heads) is None:
+        o = _flash_mha(to4(q, sq), to4(k, skv), to4(v, skv), float(sm_scale),
+                       kv_len, block_q, block_kv, interpret)
+        return o.transpose(0, 2, 1, 3).reshape(b, sq, hd)
+    return _flash_mha_bshd(q, k, v, float(sm_scale), kv_len, block_q, block_kv,
+                           interpret, num_heads)
 
 
 # ───────────────────────────── public op ─────────────────────────────

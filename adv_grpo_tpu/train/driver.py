@@ -147,6 +147,11 @@ class GRPOTrainer:
             is_main=jax.process_index() == 0)  # main-process-only (ref :428)
         self.timer = StepTimer()
         self.executor = ThreadPoolExecutor(max_workers=4)
+        # analytic rollout FLOPs for the per-epoch perf/rollout_tflops metric
+        # (utils.flops: XLA cost_analysis can't price scan loops)
+        mc = pipeline.mmdit_cfg
+        self._s_img = (latent_hw // mc.patch_size) ** 2
+        self._rollout_flops_acc = 0.0
         # precomputed negative ("") embeddings (reference :632-637)
         ne, npld = self.text_encode_fn([""])
         self.neg_embeds1 = np.asarray(ne)
@@ -232,6 +237,13 @@ class GRPOTrainer:
                     self.state.lora, self.frozen, sharded["embeds"],
                     sharded["pooled"], sharded["neg_e"], sharded["neg_p"],
                     key, rt_static if self.shared_prefix else sharded["rt"])
+            from adv_grpo_tpu.utils.flops import rollout_flops
+
+            self._rollout_flops_acc += rollout_flops(
+                self.pipeline.mmdit_cfg, self._s_img, embeds.shape[1], B,
+                self.sampler_cfg.num_steps, self.sampler_cfg.do_cfg,
+                prefix_steps=rt_static if self.shared_prefix else 0,
+                group_size=self.mini)
 
             refs = None
             if self.reference_store is not None:
@@ -494,6 +506,13 @@ class GRPOTrainer:
                 metrics["d_epoch"] = 0
 
             metrics.update(self.timer.summary())
+            rollout_s = self.timer.totals.get("rollout", 0.0)
+            if rollout_s > 0 and self._rollout_flops_acc > 0:
+                # achieved device throughput of the epoch's sampling phase
+                # (whole-mesh; divide by chip count for per-chip MFU)
+                metrics["perf/rollout_tflops_per_sec"] = (
+                    self._rollout_flops_acc / rollout_s / 1e12)
+            self._rollout_flops_acc = 0.0
             self.timer.reset()
             metrics["epoch"] = self.epoch
             self.logger.log(metrics, step=int(self.state.global_step))

@@ -1,0 +1,48 @@
+"""Analytic FLOP model of the MMDiT forward — shared by bench.py and the
+trainer's per-epoch throughput metrics.
+
+XLA's ``cost_analysis`` prices a ``lax.scan`` body once, so it cannot price
+the denoise loop; this closed-form count (matmuls + attention, per stream) is
+the honest alternative. Verified against the module structure of
+models/mmdit.py (joint qkv/out + 4x MLP per stream, dual self-attention on
+image tokens for the configured layers, embedders).
+"""
+
+from __future__ import annotations
+
+
+def mmdit_forward_flops(cfg, s_img: int, s_txt: int, batch: int) -> float:
+    """Matmul+attention FLOPs of ONE MMDiT forward over ``batch`` samples.
+
+    Per layer and token: qkv+out 4D^2 params, MLP 8D^2 (x2 FLOP/param);
+    dual-attention layers add a second self-attn (4D^2) on image tokens only.
+    Attention: 4*S^2*D per layer (QK^T + AV). AdaLN/conditioning is per-sample
+    (not per-token) — negligible.
+    """
+    D = cfg.hidden_dim
+    L = cfg.num_layers
+    n_dual = len(cfg.dual_attention_layers)
+    s_tot = s_img + s_txt
+    per_token_params = 12 * D * D  # per stream
+    main = L * (2.0 * per_token_params * (s_img + s_txt) + 4.0 * s_tot**2 * D)
+    dual = n_dual * (2.0 * 4 * D * D * s_img + 4.0 * s_img**2 * D)
+    embed = 2.0 * (s_txt * cfg.joint_attention_dim * D
+                   + s_img * cfg.in_channels * cfg.patch_size**2 * D)
+    return batch * (main + dual + embed)
+
+
+def rollout_flops(cfg, s_img: int, s_txt: int, batch: int, num_steps: int,
+                  do_cfg: bool, prefix_steps: int = 0,
+                  group_size: int = 1) -> float:
+    """FLOPs of one denoise rollout: ``num_steps`` forwards at CFG batch.
+
+    ``prefix_steps`` > 0 models the shared-prefix sampler: those steps run at
+    ``batch / group_size`` (one latent per prompt slot) before the group is
+    repeated at the window start.
+    """
+    mult = 2 if do_cfg else 1
+    full = mmdit_forward_flops(cfg, s_img, s_txt, batch * mult)
+    if prefix_steps <= 0 or group_size <= 1:
+        return num_steps * full
+    small = mmdit_forward_flops(cfg, s_img, s_txt, batch * mult // group_size)
+    return prefix_steps * small + (num_steps - prefix_steps) * full

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from adv_grpo_tpu.ops.attention import attention_reference, mha
+from adv_grpo_tpu.ops.attention import attention_reference, mha, mha_bshd
 
 B, H, S, D = 1, 2, 256, 64
 KV_LEN = 200
@@ -47,3 +47,50 @@ class TestFlashAttention:
         o_auto = mha(q, k, v, kv_len=KV_LEN)
         o_ref = attention_reference(q, k, v, sm_scale=D**-0.5, kv_len=KV_LEN)
         np.testing.assert_allclose(np.asarray(o_auto), np.asarray(o_ref))
+
+
+class TestFlashAttentionBSHD:
+    """Transpose-free (B, S, H*D) entry point: parity vs the BHSD reference."""
+
+    def _qkv_bshd(self):
+        q, k, v = _qkv()
+        to3 = lambda a: a.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        return to3(q), to3(k), to3(v), (q, k, v)
+
+    def test_forward_parity_with_mask(self):
+        q3, k3, v3, (q, k, v) = self._qkv_bshd()
+        o_ref = attention_reference(q, k, v, sm_scale=D**-0.5, kv_len=KV_LEN)
+        o_ref3 = o_ref.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        o_pal = mha_bshd(q3, k3, v3, num_heads=H, kv_len=KV_LEN, block_q=128,
+                         block_kv=128, backend="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_ref3),
+                                   atol=5e-3)
+
+    def test_backward_parity(self):
+        q3, k3, v3, (q, k, v) = self._qkv_bshd()
+
+        def loss_pal(q3, k3, v3):
+            o = mha_bshd(q3, k3, v3, num_heads=H, kv_len=KV_LEN, block_q=128,
+                         block_kv=128, backend="pallas_interpret")
+            return jnp.sum(o[:, :KV_LEN] ** 2)
+
+        def loss_ref(q, k, v):
+            o = attention_reference(q, k, v, sm_scale=D**-0.5, kv_len=KV_LEN)
+            return jnp.sum(o[:, :, :KV_LEN] ** 2)
+
+        gp = jax.grad(loss_pal, (0, 1, 2))(q3, k3, v3)
+        gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+        to3 = lambda a: a.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a[:, :KV_LEN]),
+                                       np.asarray(to3(b)[:, :KV_LEN]),
+                                       atol=2e-2)
+
+    def test_reference_backend_matches_bhsd(self):
+        q3, k3, v3, (q, k, v) = self._qkv_bshd()
+        o3 = mha_bshd(q3, k3, v3, num_heads=H, kv_len=KV_LEN,
+                      backend="reference")
+        o = attention_reference(q, k, v, sm_scale=D**-0.5, kv_len=KV_LEN)
+        np.testing.assert_allclose(
+            np.asarray(o3),
+            np.asarray(o.transpose(0, 2, 1, 3).reshape(B, S, H * D)))

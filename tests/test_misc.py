@@ -420,3 +420,54 @@ class TestGlobalAdvantageBranch:
             VAEConfig.tiny(latent_channels=16), latent_hw=8, text_seq_len=6)
         trainer = e2e.make_trainer(pipe, cfg)
         assert trainer.per_prompt_stats is False
+
+
+class TestFlopsModel:
+    def test_hand_count_tiny(self):
+        """mmdit_forward_flops vs a hand count on a 1-layer config."""
+        from adv_grpo_tpu.models.mmdit import MMDiTConfig
+        from adv_grpo_tpu.utils.flops import mmdit_forward_flops, rollout_flops
+
+        cfg = MMDiTConfig.tiny(num_layers=1, dual_attention_layers=())
+        D = cfg.hidden_dim
+        s_img, s_txt, B = 4, 2, 3
+        s = s_img + s_txt
+        expect = B * (2.0 * 12 * D * D * s + 4.0 * s * s * D
+                      + 2.0 * (s_txt * cfg.joint_attention_dim * D
+                               + s_img * cfg.in_channels * cfg.patch_size**2 * D))
+        got = mmdit_forward_flops(cfg, s_img, s_txt, B)
+        assert abs(got - expect) / expect < 1e-12
+
+        # rollout: shared prefix runs the prefix at batch/group
+        full = rollout_flops(cfg, s_img, s_txt, 8, num_steps=10, do_cfg=True)
+        shared = rollout_flops(cfg, s_img, s_txt, 8, num_steps=10, do_cfg=True,
+                               prefix_steps=4, group_size=8)
+        one_step = mmdit_forward_flops(cfg, s_img, s_txt, 16)
+        assert abs(full - 10 * one_step) < 1e-6
+        assert shared < full
+        assert abs(shared - (4 * one_step / 8 + 6 * one_step)) / full < 1e-12
+
+    def test_trainer_logs_rollout_tflops(self):
+        import jax
+
+        import tests.test_trainer_e2e as e2e
+        from adv_grpo_tpu.models.mmdit import MMDiTConfig
+        from adv_grpo_tpu.models.vae import VAEConfig
+        from adv_grpo_tpu.train.pipeline import SD3Pipeline
+        from adv_grpo_tpu.utils.metrics import MetricLogger
+
+        logged = []
+
+        class CaptureLogger(MetricLogger):
+            def log(self, metrics, step=None):
+                logged.append(dict(metrics))
+
+        pipe = SD3Pipeline.random_init(
+            jax.random.PRNGKey(0),
+            MMDiTConfig.tiny(num_layers=2, dual_attention_layers=(0,),
+                             lora_rank=4, lora_alpha=8.0),
+            VAEConfig.tiny(latent_channels=16), latent_hw=8, text_seq_len=6)
+        trainer = e2e.make_trainer(pipe, e2e.tiny_config(),
+                                   logger=CaptureLogger(""))
+        trainer.run(max_epochs=1)
+        assert logged[-1].get("perf/rollout_tflops_per_sec", 0) > 0
