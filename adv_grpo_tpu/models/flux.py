@@ -15,7 +15,7 @@ Architecture semantics (diffusers FluxTransformer2DModel):
     sequence (attention and MLP computed from one fused projection)
   * AdaLayerNormContinuous head -> linear back to packed channels
 
-TPU notes: attention via ops.attention.mha (Pallas flash on TPU); RoPE tables
+TPU notes: attention via ops.attention.mha_bshd (Pallas flash on TPU, transpose-free); RoPE tables
 are trace-time constants from static ids; bf16 compute / fp32 params.
 """
 
@@ -32,7 +32,7 @@ import numpy as np
 from adv_grpo_tpu.models.mmdit import (
     AdaLNModulation, RMSNorm, _layer_norm, sincos_timestep_embedding,
 )
-from adv_grpo_tpu.ops.attention import mha
+from adv_grpo_tpu.ops.attention import mha_bshd
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,13 +80,19 @@ def rope_freqs(ids: np.ndarray, axes_dims) -> np.ndarray:
     return np.concatenate(outs, axis=-1).astype(np.float32)  # (S, head_dim/2)
 
 
-def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: (B, H, S, D); rotate interleaved pairs (Flux convention)."""
-    xf = x.astype(jnp.float32)
+def apply_rope_bshd(x: jax.Array, cos: jax.Array, sin: jax.Array,
+                    num_heads: int) -> jax.Array:
+    """x: (B, S, H*D) — same rotation in the transpose-free layout; elementwise
+    so it fuses and materialises no layout copy. cos/sin: (S, D/2)."""
+    B, S, hd = x.shape
+    d = hd // num_heads
+    xf = x.reshape(B, S, num_heads, d).astype(jnp.float32)
     x1 = xf[..., 0::2]
     x2 = xf[..., 1::2]
-    out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
-    return out.reshape(x.shape).astype(x.dtype)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out = jnp.stack([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    return out.reshape(B, S, hd).astype(x.dtype)
 
 
 def make_latent_ids(gh: int, gw: int) -> np.ndarray:
@@ -112,30 +118,34 @@ class FluxAttention(nn.Module):
         dense = lambda n: nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name=n)
 
         def qkv(x, prefix):
-            q = dense(f"{prefix}to_q")(x).reshape(B, -1, H, d)
-            k = dense(f"{prefix}to_k")(x).reshape(B, -1, H, d)
-            v = dense(f"{prefix}to_v")(x).reshape(B, -1, H, d)
-            q = RMSNorm(d, dtype=c.dtype, name=f"{prefix}norm_q")(q)
-            k = RMSNorm(d, dtype=c.dtype, name=f"{prefix}norm_k")(k)
+            s = x.shape[1]
+            hn = lambda t, n: RMSNorm(d, dtype=c.dtype, name=n)(
+                t.reshape(B, s, H, d)).reshape(B, s, dim)
+            q = hn(dense(f"{prefix}to_q")(x), f"{prefix}norm_q")
+            k = hn(dense(f"{prefix}to_k")(x), f"{prefix}norm_k")
+            v = dense(f"{prefix}to_v")(x)
             return q, k, v
 
         iq, ik, iv = qkv(img_mod, "")
         tq, tk, tv = qkv(txt_mod, "add_")
-        # text first (diffusers Flux concat order)
-        q = jnp.concatenate([tq, iq], axis=1).transpose(0, 2, 1, 3)
-        k = jnp.concatenate([tk, ik], axis=1).transpose(0, 2, 1, 3)
-        v = jnp.concatenate([tv, iv], axis=1).transpose(0, 2, 1, 3)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-
+        # text first (diffusers Flux concat order); zero tail fuses the 128
+        # padding into the single concat (transpose-free BSHD layout)
         s_tot = s_img + s_txt
         pad = (-s_tot) % 128
-        if pad:
-            padw = ((0, 0), (0, 0), (0, pad), (0, 0))
-            q, k, v = (jnp.pad(a, padw) for a in (q, k, v))
-        o = mha(q, k, v, kv_len=s_tot, backend=c.attention_backend)
-        o = o[:, :, :s_tot].transpose(0, 2, 1, 3).reshape(B, s_tot, dim)
-        txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
+
+        def joint(t, i):
+            parts = [t, i]
+            if pad:
+                parts.append(jnp.zeros((B, pad, dim), t.dtype))
+            return jnp.concatenate(parts, axis=1)
+
+        cos_p = jnp.pad(cos, ((0, pad), (0, 0))) if pad else cos
+        sin_p = jnp.pad(sin, ((0, pad), (0, 0))) if pad else sin
+        q = apply_rope_bshd(joint(tq, iq), cos_p, sin_p, H)
+        k = apply_rope_bshd(joint(tk, ik), cos_p, sin_p, H)
+        o = mha_bshd(q, k, joint(tv, iv), num_heads=H, kv_len=s_tot,
+                     backend=c.attention_backend)
+        txt_o, img_o = o[:, :s_txt], o[:, s_txt:s_tot]
         return dense("to_out")(img_o), dense("to_add_out")(txt_o)
 
 
@@ -183,18 +193,22 @@ class FluxSingleBlock(nn.Module):
         q = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_q")(h)
         k = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_k")(h)
         v = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_v")(h)
-        q = RMSNorm(d, dtype=c.dtype, name="norm_q")(q.reshape(B, S, H, d))
-        k = RMSNorm(d, dtype=c.dtype, name="norm_k")(k.reshape(B, S, H, d))
-        v = v.reshape(B, S, H, d)
-        q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = RMSNorm(d, dtype=c.dtype, name="norm_q")(
+            q.reshape(B, S, H, d)).reshape(B, S, dim)
+        k = RMSNorm(d, dtype=c.dtype, name="norm_k")(
+            k.reshape(B, S, H, d)).reshape(B, S, dim)
         pad = (-S) % 128
         if pad:
-            padw = ((0, 0), (0, 0), (0, pad), (0, 0))
-            q, k, v = (jnp.pad(a, padw) for a in (q, k, v))
-        att = mha(q, k, v, kv_len=S, backend=c.attention_backend)
-        att = att[:, :, :S].transpose(0, 2, 1, 3).reshape(B, S, dim)
+            zt = lambda a: jnp.concatenate(
+                [a, jnp.zeros((B, pad, dim), a.dtype)], axis=1)
+            q, k, v = zt(q), zt(k), zt(v)
+        cos_p = jnp.pad(cos, ((0, pad), (0, 0))) if pad else cos
+        sin_p = jnp.pad(sin, ((0, pad), (0, 0))) if pad else sin
+        q = apply_rope_bshd(q, cos_p, sin_p, H)
+        k = apply_rope_bshd(k, cos_p, sin_p, H)
+        att = mha_bshd(q, k, v, num_heads=H, kv_len=S,
+                       backend=c.attention_backend)
+        att = att[:, :S]
 
         mlp = nn.Dense(dim * 4, dtype=c.dtype, param_dtype=jnp.float32,
                        name="proj_mlp")(h)
@@ -238,8 +252,8 @@ class FluxTransformer(nn.Module):
 
         ids = np.concatenate([np.asarray(txt_ids), np.asarray(img_ids)], axis=0)
         angles = jnp.asarray(rope_freqs(ids, c.rope_axes_dims))  # (S_tot, d/2)
-        cos = jnp.cos(angles)[None, None]
-        sin = jnp.sin(angles)[None, None]
+        cos = jnp.cos(angles)  # (S, d/2) — apply_rope_bshd broadcast
+        sin = jnp.sin(angles)
 
         dbl = nn.remat(FluxDoubleBlock) if c.remat else FluxDoubleBlock
         sgl = nn.remat(FluxSingleBlock) if c.remat else FluxSingleBlock

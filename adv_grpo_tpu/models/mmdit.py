@@ -149,7 +149,12 @@ class RMSNorm(nn.Module):
 
 
 def _layer_norm(x, dtype):
-    """LayerNorm without learned affine (elementwise_affine=False), fp32 stats."""
+    """LayerNorm without learned affine (elementwise_affine=False), fp32 stats.
+
+    (Measured: a one-pass E[x^2]-E[x]^2 variant is NOT faster — XLA already
+    fuses both reductions into a single read of x — so the numerically
+    preferable two-moment form stays.)
+    """
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)

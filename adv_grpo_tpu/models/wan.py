@@ -12,7 +12,7 @@ WanPipeline; SURVEY.md marks the family phase-3). Architecture semantics
     [cross-attention to UMT5 text states] -> [GELU FFN], all residual
   * scale-shift output norm -> linear -> 3D unpatchify
 
-Attention via ops.attention.mha (Pallas flash on TPU). The UMT5 text encoder is
+Attention via ops.attention.mha_bshd (Pallas flash on TPU, transpose-free). The UMT5 text encoder is
 models/t5.py (WAN uses the same gated-gelu UMT5 family).
 """
 
@@ -27,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from adv_grpo_tpu.models.mmdit import RMSNorm, _layer_norm, sincos_timestep_embedding
-from adv_grpo_tpu.models.flux import apply_rope, rope_freqs
-from adv_grpo_tpu.ops.attention import mha
+from adv_grpo_tpu.models.flux import apply_rope_bshd, rope_freqs
+from adv_grpo_tpu.ops.attention import mha_bshd
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,23 +89,26 @@ class WanBlock(nn.Module):
         dense = lambda n: nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
                                    name=n)
 
-        # self-attention with 3D RoPE
+        # self-attention with 3D RoPE (transpose-free BSHD layout: pad fuses
+        # into one zero-tail concat per tensor)
         h = _layer_norm(x, c.dtype) * (1 + scale_sa[:, None]) + shift_sa[:, None]
         q = RMSNorm(d, dtype=c.dtype, name="norm_q")(
-            dense("to_q")(h).reshape(B, S, H, d))
+            dense("to_q")(h).reshape(B, S, H, d)).reshape(B, S, dim)
         k = RMSNorm(d, dtype=c.dtype, name="norm_k")(
-            dense("to_k")(h).reshape(B, S, H, d))
-        v = dense("to_v")(h).reshape(B, S, H, d)
-        q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+            dense("to_k")(h).reshape(B, S, H, d)).reshape(B, S, dim)
+        v = dense("to_v")(h)
         pad = (-S) % 128
         if pad:
-            padw = ((0, 0), (0, 0), (0, pad), (0, 0))
-            q, k, v = (jnp.pad(a, padw) for a in (q, k, v))
-        att = mha(q, k, v, kv_len=S, backend=c.attention_backend)
-        att = att[:, :, :S].transpose(0, 2, 1, 3).reshape(B, S, dim)
-        x = x + gate_sa[:, None] * dense("to_out")(att)
+            zt = lambda a: jnp.concatenate(
+                [a, jnp.zeros((B, pad, dim), a.dtype)], axis=1)
+            q, k, v = zt(q), zt(k), zt(v)
+        cos_p = jnp.pad(cos, ((0, pad), (0, 0))) if pad else cos
+        sin_p = jnp.pad(sin, ((0, pad), (0, 0))) if pad else sin
+        q = apply_rope_bshd(q, cos_p, sin_p, H)
+        k = apply_rope_bshd(k, cos_p, sin_p, H)
+        att = mha_bshd(q, k, v, num_heads=H, kv_len=S,
+                       backend=c.attention_backend)
+        x = x + gate_sa[:, None] * dense("to_out")(att[:, :S])
 
         # cross-attention to text (no time modulation; WAN norm2 is an
         # affine LayerNorm when cross_attn_norm, diffusers WanTransformerBlock)
@@ -118,20 +121,22 @@ class WanBlock(nn.Module):
             hq = hq * n2w.astype(c.dtype) + n2b.astype(c.dtype)
         St = text.shape[1]
         q = RMSNorm(d, dtype=c.dtype, name="cross_norm_q")(
-            dense("cross_to_q")(hq).reshape(B, S, H, d)).transpose(0, 2, 1, 3)
+            dense("cross_to_q")(hq).reshape(B, S, H, d)).reshape(B, S, dim)
         k = RMSNorm(d, dtype=c.dtype, name="cross_norm_k")(
-            dense("cross_to_k")(text).reshape(B, St, H, d)).transpose(0, 2, 1, 3)
-        v = dense("cross_to_v")(text).reshape(B, St, H, d).transpose(0, 2, 1, 3)
+            dense("cross_to_k")(text).reshape(B, St, H, d)).reshape(B, St, dim)
+        v = dense("cross_to_v")(text)
         padq = (-S) % 128
         padk = (-St) % 128
         if padq:
-            q = jnp.pad(q, ((0, 0), (0, 0), (0, padq), (0, 0)))
+            q = jnp.concatenate(
+                [q, jnp.zeros((B, padq, dim), q.dtype)], axis=1)
         if padk:
-            k = jnp.pad(k, ((0, 0), (0, 0), (0, padk), (0, 0)))
-            v = jnp.pad(v, ((0, 0), (0, 0), (0, padk), (0, 0)))
-        catt = mha(q, k, v, kv_len=St, backend=c.attention_backend)
-        catt = catt[:, :, :S].transpose(0, 2, 1, 3).reshape(B, S, dim)
-        x = x + dense("cross_to_out")(catt)
+            ztk = lambda a: jnp.concatenate(
+                [a, jnp.zeros((B, padk, dim), a.dtype)], axis=1)
+            k, v = ztk(k), ztk(v)
+        catt = mha_bshd(q, k, v, num_heads=H, kv_len=St,
+                        backend=c.attention_backend)
+        x = x + dense("cross_to_out")(catt[:, :S])
 
         # FFN
         h = _layer_norm(x, c.dtype) * (1 + scale_ff[:, None]) + shift_ff[:, None]
@@ -179,8 +184,8 @@ class WanTransformer(nn.Module):
 
         ids = make_video_ids(f, gh, gw)
         angles = jnp.asarray(rope_freqs(ids, c.rope_axes_dims))
-        cos = jnp.cos(angles)[None, None]
-        sin = jnp.sin(angles)[None, None]
+        cos = jnp.cos(angles)  # (S, d/2) — apply_rope_bshd broadcast
+        sin = jnp.sin(angles)
 
         block = nn.remat(WanBlock) if c.remat else WanBlock
         for i in range(c.num_layers):

@@ -155,22 +155,25 @@ class TestFluxTransformer:
 
     def test_rope_rotation_properties(self):
         import numpy as np
-        from adv_grpo_tpu.models.flux import apply_rope, rope_freqs
+        from adv_grpo_tpu.models.flux import apply_rope_bshd, rope_freqs
 
         ids = np.array([[0, 0, 0], [0, 1, 2]], np.int32)
         ang = rope_freqs(ids, (4, 6, 6))
         assert ang.shape == (2, 8)
         np.testing.assert_allclose(ang[0], 0.0)  # zero ids -> no rotation
-        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 2, 16))
-        cos = jnp.cos(jnp.asarray(ang))[None, None]
-        sin = jnp.sin(jnp.asarray(ang))[None, None]
-        r = apply_rope(x, cos, sin)
-        # norm-preserving per pair
+        # (B, S, H*D) layout: S=2 positions, 2 heads of d=16
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 32))
+        cos = jnp.cos(jnp.asarray(ang))
+        sin = jnp.sin(jnp.asarray(ang))
+        r = apply_rope_bshd(x, cos, sin, num_heads=2)
+        # norm-preserving per head
+        rn = r.reshape(1, 2, 2, 16)
+        xn = x.reshape(1, 2, 2, 16)
         np.testing.assert_allclose(
-            np.asarray(jnp.linalg.norm(r, axis=-1)),
-            np.asarray(jnp.linalg.norm(x, axis=-1)), rtol=1e-5)
+            np.asarray(jnp.linalg.norm(rn, axis=-1)),
+            np.asarray(jnp.linalg.norm(xn, axis=-1)), rtol=1e-5)
         # zero-angle position unchanged
-        np.testing.assert_allclose(np.asarray(r[:, :, 0]), np.asarray(x[:, :, 0]),
+        np.testing.assert_allclose(np.asarray(r[:, 0]), np.asarray(x[:, 0]),
                                    atol=1e-6)
 
 
