@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adv_grpo_tpu.models.mmdit import (
-    AdaLNModulation, RMSNorm, _layer_norm, sincos_timestep_embedding,
+    AdaLNModulation, HeadRMSNorm, _layer_norm, sincos_timestep_embedding,
 )
 from adv_grpo_tpu.ops.attention import mha_bshd
 
@@ -119,8 +119,8 @@ class FluxAttention(nn.Module):
 
         def qkv(x, prefix):
             s = x.shape[1]
-            hn = lambda t, n: RMSNorm(d, dtype=c.dtype, name=n)(
-                t.reshape(B, s, H, d)).reshape(B, s, dim)
+            hn = lambda t, n: HeadRMSNorm(d, num_heads=H, dtype=c.dtype,
+                                          name=n)(t)
             q = hn(dense(f"{prefix}to_q")(x), f"{prefix}norm_q")
             k = hn(dense(f"{prefix}to_k")(x), f"{prefix}norm_k")
             v = dense(f"{prefix}to_v")(x)
@@ -193,10 +193,8 @@ class FluxSingleBlock(nn.Module):
         q = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_q")(h)
         k = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_k")(h)
         v = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_v")(h)
-        q = RMSNorm(d, dtype=c.dtype, name="norm_q")(
-            q.reshape(B, S, H, d)).reshape(B, S, dim)
-        k = RMSNorm(d, dtype=c.dtype, name="norm_k")(
-            k.reshape(B, S, H, d)).reshape(B, S, dim)
+        q = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_q")(q)
+        k = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_k")(k)
         pad = (-S) % 128
         if pad:
             zt = lambda a: jnp.concatenate(

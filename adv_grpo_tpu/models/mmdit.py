@@ -40,6 +40,7 @@ import numpy as np
 
 from adv_grpo_tpu.models.lora import LoRADense
 from adv_grpo_tpu.ops.attention import mha_bshd
+from adv_grpo_tpu.ops.fused_norms import layer_norm, rms_norm_heads
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,14 +152,28 @@ class RMSNorm(nn.Module):
 def _layer_norm(x, dtype):
     """LayerNorm without learned affine (elementwise_affine=False), fp32 stats.
 
-    (Measured: a one-pass E[x^2]-E[x]^2 variant is NOT faster — XLA already
-    fuses both reductions into a single read of x — so the numerically
-    preferable two-moment form stays.)
+    Delegates to the fused Pallas row-norm on TPU — XLA's stat+apply fusion
+    measured at ~59 GB/s effective (~40 ms per MMDiT forward across layers);
+    the one-VMEM-pass kernel runs at bandwidth (ops/fused_norms.py).
     """
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    return ((xf - mean) * jax.lax.rsqrt(var + 1e-6)).astype(dtype)
+    return layer_norm(x, out_dtype=dtype)
+
+
+class HeadRMSNorm(nn.Module):
+    """Per-head RMS norm applied in the (B, S, H*d) attention layout (fused
+    Pallas kernel on TPU). Param tree identical to RMSNorm ('weight' (d,))."""
+
+    dim: int  # head dim d
+    num_heads: int
+    eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,),
+                            jnp.float32)
+        return rms_norm_heads(x, weight, num_heads=self.num_heads,
+                              eps=self.eps, out_dtype=self.dtype)
 
 
 class AdaLNModulation(nn.Module):
@@ -207,9 +222,8 @@ class JointAttention(nn.Module):
                              dtype=c.dtype, name=name)(inp, lora_scale=lora_scale)
 
         def head_norm(t, s, name):
-            # per-head RMS over d; (B,s,dim)<->(B,s,H,d) reshapes are free
-            return RMSNorm(d, dtype=c.dtype, name=name)(
-                t.reshape(B, s, H, d)).reshape(B, s, dim)
+            # per-head RMS over d, fused in the BSHD layout
+            return HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name=name)(t)
 
         q = proj("to_q", x)  # (B, s_img, dim) — kept in BSHD layout throughout
         k = proj("to_k", x)
@@ -266,10 +280,8 @@ class DualSelfAttention(nn.Module):
         k = dense("to_k")(x)
         v = dense("to_v")(x)
         if c.qk_norm:
-            q = RMSNorm(d, dtype=c.dtype, name="norm_q")(
-                q.reshape(B, s, H, d)).reshape(B, s, dim)
-            k = RMSNorm(d, dtype=c.dtype, name="norm_k")(
-                k.reshape(B, s, H, d)).reshape(B, s, dim)
+            q = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_q")(q)
+            k = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_k")(k)
         pad = (-s) % 128
         if pad:
             zt = lambda a: jnp.concatenate(

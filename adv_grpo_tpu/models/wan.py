@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from adv_grpo_tpu.models.mmdit import RMSNorm, _layer_norm, sincos_timestep_embedding
+from adv_grpo_tpu.models.mmdit import HeadRMSNorm, _layer_norm, sincos_timestep_embedding
 from adv_grpo_tpu.models.flux import apply_rope_bshd, rope_freqs
 from adv_grpo_tpu.ops.attention import mha_bshd
 
@@ -92,10 +92,10 @@ class WanBlock(nn.Module):
         # self-attention with 3D RoPE (transpose-free BSHD layout: pad fuses
         # into one zero-tail concat per tensor)
         h = _layer_norm(x, c.dtype) * (1 + scale_sa[:, None]) + shift_sa[:, None]
-        q = RMSNorm(d, dtype=c.dtype, name="norm_q")(
-            dense("to_q")(h).reshape(B, S, H, d)).reshape(B, S, dim)
-        k = RMSNorm(d, dtype=c.dtype, name="norm_k")(
-            dense("to_k")(h).reshape(B, S, H, d)).reshape(B, S, dim)
+        q = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_q")(
+            dense("to_q")(h))
+        k = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_k")(
+            dense("to_k")(h))
         v = dense("to_v")(h)
         pad = (-S) % 128
         if pad:
@@ -120,10 +120,10 @@ class WanBlock(nn.Module):
                              jnp.float32)
             hq = hq * n2w.astype(c.dtype) + n2b.astype(c.dtype)
         St = text.shape[1]
-        q = RMSNorm(d, dtype=c.dtype, name="cross_norm_q")(
-            dense("cross_to_q")(hq).reshape(B, S, H, d)).reshape(B, S, dim)
-        k = RMSNorm(d, dtype=c.dtype, name="cross_norm_k")(
-            dense("cross_to_k")(text).reshape(B, St, H, d)).reshape(B, St, dim)
+        q = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="cross_norm_q")(
+            dense("cross_to_q")(hq))
+        k = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="cross_norm_k")(
+            dense("cross_to_k")(text))
         v = dense("cross_to_v")(text)
         padq = (-S) % 128
         padk = (-St) % 128

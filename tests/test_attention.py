@@ -94,3 +94,57 @@ class TestFlashAttentionBSHD:
         np.testing.assert_allclose(
             np.asarray(o3),
             np.asarray(o.transpose(0, 2, 1, 3).reshape(B, S, H * D)))
+
+
+class TestFusedNorms:
+    def test_layer_norm_parity_and_grad(self):
+        from adv_grpo_tpu.ops.fused_norms import layer_norm
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 256, 192), jnp.float32)
+        ref = layer_norm(x, backend="reference")
+        pal = layer_norm(x, backend="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
+
+        def loss(f):
+            return lambda x: jnp.sum(jnp.sin(layer_norm(x, backend=f)) ** 2)
+
+        gr = jax.grad(loss("reference"))(x)
+        gp = jax.grad(loss("pallas_interpret"))(x)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=2e-4)
+
+    def test_layer_norm_ragged_rows_falls_back(self):
+        from adv_grpo_tpu.ops.fused_norms import layer_norm
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 154, 64), jnp.float32)
+        ref = layer_norm(x, backend="reference")
+        pal = layer_norm(x, backend="pallas_interpret")  # 154 rows: whole-block
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
+
+    def test_rms_heads_parity_and_grad(self):
+        from adv_grpo_tpu.ops.fused_norms import rms_norm_heads
+
+        Hh, dd = 4, 64  # hpb = 2
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 128, Hh * dd),
+                              jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(4), (dd,), jnp.float32) + 1.0
+        ref = rms_norm_heads(x, w, num_heads=Hh, backend="reference")
+        pal = rms_norm_heads(x, w, num_heads=Hh, backend="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
+
+        def loss(f):
+            return lambda x, w: jnp.sum(
+                jnp.sin(rms_norm_heads(x, w, num_heads=Hh, backend=f)) ** 2)
+
+        grx, grw = jax.grad(loss("reference"), (0, 1))(x, w)
+        gpx, gpw = jax.grad(loss("pallas_interpret"), (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gpx), np.asarray(grx), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gpw), np.asarray(grw), atol=2e-4)
+
+    def test_rms_heads_d128(self):
+        from adv_grpo_tpu.ops.fused_norms import rms_norm_heads
+
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 128, 256), jnp.float32)
+        w = jnp.ones((128,))
+        ref = rms_norm_heads(x, w, num_heads=2, backend="reference")
+        pal = rms_norm_heads(x, w, num_heads=2, backend="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
