@@ -127,6 +127,17 @@ def main(argv=None):
         import datetime
 
         unique = datetime.datetime.now().strftime("%Y.%m.%d_%H.%M.%S")
+        import jax
+
+        if jax.process_count() > 1:
+            # every process must agree on the directory: take process 0's
+            # timestamp (now() can cross a second boundary between hosts)
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            buf = _np.frombuffer(unique.encode().ljust(32), dtype=_np.uint8)
+            buf = multihost_utils.broadcast_one_to_all(buf)
+            unique = bytes(buf).decode().strip()
         run = str(config.run_name)
         config.run_name = (run + "_" + unique) if run else unique
         config.save_dir = os.path.join(str(config.logdir), config.run_name)

@@ -105,7 +105,9 @@ def get_config() -> ml_collections.ConfigDict:
     # TPU-native additions (no reference analogue)
     config.tpu = tpu = ml_collections.ConfigDict()
     tpu.mesh_axes = ("data",)
-    tpu.compute_dtype = "bfloat16"
+    # "" = derive from config.mixed_precision (bf16/fp16 -> bfloat16,
+    # "no"/fp32 -> float32); set explicitly to override
+    tpu.compute_dtype = ""
     tpu.remat = True
     tpu.attention_backend = ml_collections.config_dict.placeholder(str)
     tpu.profile_dir = ""

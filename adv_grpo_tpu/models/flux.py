@@ -118,7 +118,6 @@ class FluxAttention(nn.Module):
         dense = lambda n: nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name=n)
 
         def qkv(x, prefix):
-            s = x.shape[1]
             hn = lambda t, n: HeadRMSNorm(d, num_heads=H, dtype=c.dtype,
                                           name=n)(t)
             q = hn(dense(f"{prefix}to_q")(x), f"{prefix}norm_q")

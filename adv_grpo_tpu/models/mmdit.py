@@ -221,7 +221,7 @@ class JointAttention(nn.Module):
             return LoRADense(dim, lora_rank=c.lora_rank, lora_alpha=c.lora_alpha,
                              dtype=c.dtype, name=name)(inp, lora_scale=lora_scale)
 
-        def head_norm(t, s, name):
+        def head_norm(t, name):
             # per-head RMS over d, fused in the BSHD layout
             return HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name=name)(t)
 
@@ -233,10 +233,10 @@ class JointAttention(nn.Module):
         cv = proj("add_v_proj", ctx)
 
         if c.qk_norm:
-            q = head_norm(q, s_img, "norm_q")
-            k = head_norm(k, s_img, "norm_k")
-            cq = head_norm(cq, s_txt, "norm_added_q")
-            ck = head_norm(ck, s_txt, "norm_added_k")
+            q = head_norm(q, "norm_q")
+            k = head_norm(k, "norm_k")
+            cq = head_norm(cq, "norm_added_q")
+            ck = head_norm(ck, "norm_added_k")
 
         # joint sequence: image tokens, text tokens, zero tail to a 128
         # multiple — ONE concat per tensor; attention runs transpose-free in

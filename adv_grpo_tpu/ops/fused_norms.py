@@ -33,13 +33,16 @@ def _pick_rows(s: int, tile_bytes_per_row: int) -> int:
     """Largest row-block that divides s, is 8-aligned (or = s), and keeps the
     fp32 working tile small enough that the kernel's whole VMEM footprint
     (double-buffered in/out tiles + f32 temps, ~5x the tile) stays under the
-    16MB scoped limit."""
+    16MB scoped limit. Returns 0 when no divisor keeps the tile within VMEM
+    (e.g. a huge prime row count) — callers fall back to the XLA path."""
     budget = 2 * 1024 * 1024
     bs = s
     while bs > 8 and (bs % 8 == 0) and bs * tile_bytes_per_row > budget:
         if s % (bs // 2) or (bs // 2) % 8:
             break
         bs //= 2
+    if bs * tile_bytes_per_row > 3 * budget:
+        return 0
     return bs
 
 
@@ -65,7 +68,7 @@ def _ln_reference(x, eps, out_dtype):
 def _layer_norm_p(x, eps, out_dtype, interpret):
     b, s, d = x.shape
     bs = _pick_rows(s, d * 4)
-    if s % bs:
+    if not bs:
         return _ln_reference(x, eps, out_dtype)
     return pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),
@@ -143,7 +146,7 @@ def _rms_heads_p(x, w, num_heads, eps, out_dtype, interpret):
         return _rms_reference(x, w, num_heads, eps, out_dtype)
     hpb = 128 // d
     bs = _pick_rows(s, 128 * 4)
-    if s % bs:
+    if not bs:
         return _rms_reference(x, w, num_heads, eps, out_dtype)
     w_tiled = jnp.tile(w.astype(jnp.float32), hpb)[None]  # (1, 128)
     return pl.pallas_call(

@@ -237,6 +237,12 @@ class GRPOTrainer:
                     self.state.lora, self.frozen, sharded["embeds"],
                     sharded["pooled"], sharded["neg_e"], sharded["neg_p"],
                     key, rt_static if self.shared_prefix else sharded["rt"])
+                # pull the training-window arrays to host INSIDE the timed
+                # region: the jit call above is async dispatch, so without a
+                # sync the timer would measure milliseconds of dispatch and
+                # perf/rollout_tflops would overstate by orders of magnitude
+                rollout_np = jax.tree_util.tree_map(
+                    to_local_np, rollout._asdict())
             from adv_grpo_tpu.utils.flops import rollout_flops
 
             self._rollout_flops_acc += rollout_flops(
@@ -271,8 +277,7 @@ class GRPOTrainer:
             with self.timer("reward_dispatch"):
                 reward_futures.append(self.executor.submit(_score))
 
-            all_rollouts.append(jax.tree_util.tree_map(
-                to_local_np, rollout._asdict()))
+            all_rollouts.append(rollout_np)
             all_prompts.extend(prompts)
             all_prompt_ids.extend(prompt_ids)
             all_embeds.append(embeds)
@@ -472,10 +477,13 @@ class GRPOTrainer:
             g_ids, local_sl = gather_global(samples["prompt_ids"])
             g_avg, _ = gather_global(
                 np.asarray(samples["rewards"]["avg"], np.float32))
-            if self.per_prompt_stats:
+            algo = str(cfg.train.algorithm)
+            if self.per_prompt_stats or algo != "grpo":
+                # rwr/sft/dpo advantage semantics live in the tracker
+                # (one-hot / +-1 / raw weights) — global z-scoring would
+                # invert them, so only GRPO takes the global branch
                 advantages, group_stats = compute_advantages(
-                    self.tracker, g_ids, g_avg,
-                    algorithm=str(cfg.train.algorithm))
+                    self.tracker, g_ids, g_avg, algorithm=algo)
             else:
                 # global normalisation over the whole gathered batch
                 # (reference else-branch, train_sd3_fast_pickscore.py:995)

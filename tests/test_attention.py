@@ -112,12 +112,25 @@ class TestFusedNorms:
         gp = jax.grad(loss("pallas_interpret"))(x)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=2e-4)
 
-    def test_layer_norm_ragged_rows_falls_back(self):
+    def test_layer_norm_ragged_rows_whole_block(self):
         from adv_grpo_tpu.ops.fused_norms import layer_norm
 
         x = jax.random.normal(jax.random.PRNGKey(2), (2, 154, 64), jnp.float32)
         ref = layer_norm(x, backend="reference")
         pal = layer_norm(x, backend="pallas_interpret")  # 154 rows: whole-block
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
+
+    def test_layer_norm_oversized_tile_falls_back(self):
+        from adv_grpo_tpu.ops.fused_norms import _pick_rows, layer_norm
+
+        # a big prime row count with a wide feature dim: no 8-aligned divisor
+        # keeps the fp32 tile in VMEM -> XLA reference path
+        assert _pick_rows(10007, 4096 * 4) == 0
+        x = jax.random.normal(jax.random.PRNGKey(6), (1, 10007, 8),
+                              jnp.float32)
+        # (small d here so the test stays fast; the guard keys on tile bytes)
+        ref = layer_norm(x, backend="reference")
+        pal = layer_norm(x, backend="pallas_interpret")
         np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
 
     def test_rms_heads_parity_and_grad(self):

@@ -315,3 +315,20 @@ class TestMultiHostPartition:
                                 lambda: 4)
             per_proc.append(trainer._epoch_prompt_slots(0))
         assert per_proc[0] + per_proc[1] == global_slots
+
+
+class TestAlternativeAlgorithms:
+    """The sft/dpo/rwr advantage modes drive the same trainer engine
+    (reference: stat_tracking.py:48-68 types; its sft/dpo trainers are dead
+    code, the advantage semantics are the surviving contract)."""
+
+    @pytest.mark.parametrize("algo", ["rwr", "sft", "dpo"])
+    def test_one_epoch_updates_policy(self, tiny_pipeline, algo):
+        cfg = tiny_config()
+        cfg.train.algorithm = algo
+        trainer = make_trainer(tiny_pipeline, cfg)
+        lora_before = jax.tree_util.tree_map(np.asarray, trainer.state.lora)
+        trainer.run(max_epochs=1)
+        delta = max(float(np.max(np.abs(np.asarray(b) - lora_before[k])))
+                    for k, b in trainer.state.lora.items())
+        assert delta > 0, f"{algo} made no update"
