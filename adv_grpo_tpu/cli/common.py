@@ -94,7 +94,10 @@ def build_pipeline(config, latent_hw: Optional[int] = None):
     if model_dir and os.path.isdir(model_dir):
         return SD3Pipeline.from_pretrained(
             model_dir, lora_rank=lora_rank,
-            lora_alpha=float(config.train.lora_alpha), dtype=dtype)
+            lora_alpha=float(config.train.lora_alpha), dtype=dtype,
+            remat=bool(config.tpu.remat),
+            remat_policy=str(config.tpu.get("remat_policy", "save_attn")),
+            attention_backend=config.tpu.attention_backend)
     if model_dir and not smoke:
         raise FileNotFoundError(
             f"config.pretrained.model={model_dir!r} (revision "

@@ -109,6 +109,9 @@ def get_config() -> ml_collections.ConfigDict:
     # "no"/fp32 -> float32); set explicitly to override
     tpu.compute_dtype = ""
     tpu.remat = True
+    # "save_attn" keeps attention outputs through the bwd (skips flash-kernel
+    # recompute in the remat re-forward); "full" recomputes everything
+    tpu.remat_policy = "save_attn"
     tpu.attention_backend = ml_collections.config_dict.placeholder(str)
     tpu.profile_dir = ""
     tpu.debug_nans = False

@@ -698,7 +698,8 @@ def convert_aesthetic_mlp(sd: Dict[str, np.ndarray]) -> Dict:
 
 
 def load_sd3_pipeline(model_dir: str, *, lora_rank=0, lora_alpha=1.0,
-                      dtype=None, attention_backend=None, remat=True):
+                      dtype=None, attention_backend=None, remat=True,
+                      remat_policy="save_attn"):
     """Assemble an SD3Pipeline from a local diffusers-layout directory
     (transformer/, vae/, text_encoder{,_2,_3}/ subfolders with safetensors)."""
     import jax.numpy as jnp
@@ -721,7 +722,7 @@ def load_sd3_pipeline(model_dir: str, *, lora_rank=0, lora_alpha=1.0,
         qk_norm=tc.get("qk_norm") is not None,
         dual_attention_layers=tuple(tc.get("dual_attention_layers", ())),
         dtype=dtype, lora_rank=lora_rank, lora_alpha=lora_alpha, remat=remat,
-        attention_backend=attention_backend,
+        remat_policy=remat_policy, attention_backend=attention_backend,
     )
     t_sd = load_torch_state_dict(os.path.join(model_dir, "transformer"))
     params = convert_mmdit(t_sd, mmdit_cfg)

@@ -52,12 +52,14 @@ class SD3Pipeline:
     @classmethod
     def from_pretrained(cls, model_dir: str, *, lora_rank: int = 0,
                         lora_alpha: float = 1.0, dtype=jnp.bfloat16,
-                        attention_backend=None, remat=True):
+                        attention_backend=None, remat=True,
+                        remat_policy="save_attn"):
         from adv_grpo_tpu.models import convert
 
         return convert.load_sd3_pipeline(
             model_dir, lora_rank=lora_rank, lora_alpha=lora_alpha, dtype=dtype,
-            attention_backend=attention_backend, remat=remat)
+            attention_backend=attention_backend, remat=remat,
+            remat_policy=remat_policy)
 
     # ── jit-friendly closures ─────────────────────────────────────────────
 
