@@ -106,16 +106,21 @@ def build_pipeline(config, latent_hw: Optional[int] = None):
             f"(python -m adv_grpo_tpu.models.convert --src <hf_dir> --dst "
             f"<local_dir>), or set smoke_test=True / pretrained.model='' for "
             f"an explicitly random-init smoke/bench run.")
+    tpu_kw = dict(remat=bool(config.tpu.remat),
+                  remat_policy=str(config.tpu.get("remat_policy", "save_attn")),
+                  attention_backend=config.tpu.attention_backend)
     if smoke:
         mmdit_cfg = MMDiTConfig.tiny(num_layers=2, dual_attention_layers=(0,),
-                                     lora_rank=max(lora_rank, 1) if lora_rank else 4)
+                                     lora_rank=max(lora_rank, 1) if lora_rank else 4,
+                                     **tpu_kw)
         return SD3Pipeline.random_init(
             jax.random.PRNGKey(int(config.seed)), mmdit_cfg,
             VAEConfig.tiny(latent_channels=16), latent_hw=latent_hw or 8,
             text_seq_len=6)
     # pretrained.model == '': explicit full-size random-init (bench mode)
     mmdit_cfg = MMDiTConfig.sd35_medium(
-        lora_rank=lora_rank, lora_alpha=float(config.train.lora_alpha))
+        lora_rank=lora_rank, lora_alpha=float(config.train.lora_alpha),
+        **tpu_kw)
     hw = latent_hw or int(config.resolution) // 8
     return SD3Pipeline.random_init(
         jax.random.PRNGKey(int(config.seed)), mmdit_cfg, VAEConfig.sd3(),

@@ -325,23 +325,19 @@ class JointBlock(nn.Module):
             c_shift_msa, c_scale_msa, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = cmods
             ctx_mod = _layer_norm(ctx, c.dtype) * (1 + c_scale_msa[:, None]) + c_shift_msa[:, None]
 
-        from jax.ad_checkpoint import checkpoint_name
-
+        # the save_attn remat policy keys on "attn_out" names attached to the
+        # flash kernel's o/lse INSIDE _flash_mha_bshd_fwd (ops/attention.py)
+        # — naming here, after the output projections, would still recompute
+        # the kernels in the remat re-forward
         attn_out, ctx_attn_out = JointAttention(
             c, context_pre_only=self.context_pre_only, name="attn"
         )(x_mod, ctx_mod, lora_scale=lora_scale)
-        # named for the save_attn remat policy: the flash-attention outputs
-        # are kept through the bwd instead of recomputing the kernels
-        attn_out = checkpoint_name(attn_out, "attn_out")
-        if ctx_attn_out is not None:
-            ctx_attn_out = checkpoint_name(ctx_attn_out, "attn_out")
         x = x + gate_msa[:, None] * attn_out
 
         if self.dual_attention:
             shift_msa2, scale_msa2, gate_msa2 = mods[6:]
             x_mod2 = x_ln * (1 + scale_msa2[:, None]) + shift_msa2[:, None]
-            x = x + gate_msa2[:, None] * checkpoint_name(
-                DualSelfAttention(c, name="attn2")(x_mod2), "attn_out")
+            x = x + gate_msa2[:, None] * DualSelfAttention(c, name="attn2")(x_mod2)
 
         h = _layer_norm(x, c.dtype) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
         x = x + gate_mlp[:, None] * FeedForward(dim, dtype=c.dtype, name="ff")(h)
@@ -404,8 +400,12 @@ class MMDiT(nn.Module):
             if c.remat_policy == "save_attn":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out")
-            else:  # "full": recompute everything
+            elif c.remat_policy == "full":  # recompute everything
                 policy = None
+            else:
+                raise ValueError(
+                    f"unknown remat_policy {c.remat_policy!r}: "
+                    f"expected 'save_attn' or 'full'")
             block_cls = nn.remat(JointBlock, static_argnums=(), policy=policy)
         for i in range(c.num_layers):
             x, ctx = block_cls(

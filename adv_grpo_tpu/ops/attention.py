@@ -335,7 +335,12 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv, interpr
 # q/k/v stay in the (B, S, H*D) projection layout. Mosaic requires block
 # last-dims divisible by 128, so the grid walks head GROUPS of 128 columns
 # (= 128//D heads, e.g. 2 for D=64) and the kernels unroll a static loop over
-# the sub-heads of the group. lse/di keep a (B, H, S, 128) stat layout.
+# the sub-heads of the group. lse/di use a (B, H, S, LSE_LANES) stat layout —
+# 8 lanes (the minimum sublane tile), NOT 128: the lse residual is saved
+# through the remat backward, and 128 broadcast lanes made it 240MB per
+# attention (8.9GB across a microstep — an HBM OOM).
+
+LSE_LANES = 8
 
 
 def _bshd_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
@@ -382,7 +387,8 @@ def _bshd_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
             l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
             outs.append(acc_scr[i] * l_inv)
             if lse_ref is not None:
-                lse_ref[0, i] = m_scr[i] + jnp.log(jnp.maximum(l_scr[i], 1e-37))
+                lse_ref[0, i] = (m_scr[i] + jnp.log(
+                    jnp.maximum(l_scr[i], 1e-37)))[:, :LSE_LANES]
         o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
@@ -507,9 +513,9 @@ def _bshd_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret,
     out_shape = [jax.ShapeDtypeStruct((b, sq, hd), q.dtype)]
     if save_residuals:
         out_specs.append(pl.BlockSpec(
-            (1, hpb, bq, 128), lambda b_, g_, qi, ki: (b_, g_, qi, 0),
+            (1, hpb, bq, LSE_LANES), lambda b_, g_, qi, ki: (b_, g_, qi, 0),
             memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((b, num_heads, sq, 128),
+        out_shape.append(jax.ShapeDtypeStruct((b, num_heads, sq, LSE_LANES),
                                               jnp.float32))
     outs = pl.pallas_call(
         kernel,
@@ -544,13 +550,13 @@ def _bshd_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv,
     di = jnp.sum((o.astype(jnp.float32) * do.astype(jnp.float32))
                  .reshape(b, sq, num_heads, d), axis=-1)
     di = jnp.broadcast_to(di.transpose(0, 2, 1)[..., None],
-                          (b, num_heads, sq, 128))
+                          (b, num_heads, sq, LSE_LANES))
 
     qspec = pl.BlockSpec((1, bq, 128), lambda b_, g_, ki, qi: (b_, qi, g_),
                          memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((1, bkv, 128), lambda b_, g_, ki, qi: (b_, ki, g_),
                          memory_space=pltpu.VMEM)
-    statspec = pl.BlockSpec((1, hpb, bq, 128),
+    statspec = pl.BlockSpec((1, hpb, bq, LSE_LANES),
                             lambda b_, g_, ki, qi: (b_, g_, qi, 0),
                             memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
@@ -583,7 +589,7 @@ def _bshd_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv,
                           memory_space=pltpu.VMEM)
     kspec2 = pl.BlockSpec((1, bkv, 128), lambda b_, g_, qi, ki: (b_, ki, g_),
                           memory_space=pltpu.VMEM)
-    statspec2 = pl.BlockSpec((1, hpb, bq, 128),
+    statspec2 = pl.BlockSpec((1, hpb, bq, LSE_LANES),
                              lambda b_, g_, qi, ki: (b_, g_, qi, 0),
                              memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
@@ -613,14 +619,26 @@ def _flash_mha_bshd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret,
 
 def _flash_mha_bshd_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv,
                         interpret, num_heads):
+    from jax.ad_checkpoint import checkpoint_name
+
     o, lse = _bshd_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret,
                        save_residuals=True, num_heads=num_heads)
-    return o, (q, k, v, o, lse)
+    # named for remat save_only_these_names("attn_out"): keeping o AND lse
+    # lets the remat re-forward skip re-running the flash kernel entirely —
+    # the bwd's residuals (q,k,v) rebuild from the cheap projections.
+    # lse is saved SQUEEZED to (B, H, S): any trailing stat-lane dim gets
+    # padded back to 128 lanes by the tiled layout (16x memory) — measured
+    # as an HBM OOM when 37 of them were saved per microstep.
+    o = checkpoint_name(o, "attn_out")
+    lse_small = checkpoint_name(lse[..., 0], "attn_out")
+    return o, (q, k, v, o, lse_small)
 
 
 def _flash_mha_bshd_bwd(sm_scale, kv_len, block_q, block_kv, interpret,
                         num_heads, res, do):
-    q, k, v, o, lse = res
+    q, k, v, o, lse_small = res
+    lse = jnp.broadcast_to(lse_small[..., None],
+                           lse_small.shape + (LSE_LANES,))
     return _bshd_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv,
                      interpret, num_heads)
 

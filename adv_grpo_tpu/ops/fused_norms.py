@@ -41,7 +41,9 @@ def _pick_rows(s: int, tile_bytes_per_row: int) -> int:
         if s % (bs // 2) or (bs // 2) % 8:
             break
         bs //= 2
-    if bs * tile_bytes_per_row > 3 * budget:
+    # footprint ~5x the f32 tile (double-buffered in/out + temps) must stay
+    # under the 16MB scoped limit -> tile cap ~3MB
+    if bs * tile_bytes_per_row > 3 * 1024 * 1024:
         return 0
     return bs
 

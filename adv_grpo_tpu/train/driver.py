@@ -140,6 +140,15 @@ class GRPOTrainer:
         # (train_sd3_fast_pickscore.py:639-640, :995)
         self.per_prompt_stats = (bool(config.per_prompt_stat_tracking)
                                  and int(s.num_image_per_prompt) > 1)
+        if (str(config.train.algorithm) in ("sft", "dpo")
+                and int(s.num_image_per_prompt) < 2):
+            # sft picks the group argmax, dpo labels best/worst — both are
+            # undefined on singleton groups (the tracker would index past
+            # the group)
+            raise ValueError(
+                f"train.algorithm={config.train.algorithm!r} needs "
+                f"num_image_per_prompt >= 2 (group-relative labels), got "
+                f"{int(s.num_image_per_prompt)}")
         self.tracker = PerPromptStatTracker(global_std=bool(s.global_std))
         self.logger = logger or MetricLogger(
             config.save_dir, wandb_init=bool(config.wandb_init),

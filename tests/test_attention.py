@@ -123,12 +123,12 @@ class TestFusedNorms:
     def test_layer_norm_oversized_tile_falls_back(self):
         from adv_grpo_tpu.ops.fused_norms import _pick_rows, layer_norm
 
-        # a big prime row count with a wide feature dim: no 8-aligned divisor
-        # keeps the fp32 tile in VMEM -> XLA reference path
-        assert _pick_rows(10007, 4096 * 4) == 0
-        x = jax.random.normal(jax.random.PRNGKey(6), (1, 10007, 8),
+        # 1288 = 8*161: halving blocks at 644 (not 8-aligned) so the whole
+        # 1288-row f32 tile (5.3MB at d=1024) exceeds the ~3MB cap ->
+        # _pick_rows signals fallback and layer_norm takes the XLA path
+        assert _pick_rows(1288, 1024 * 4) == 0
+        x = jax.random.normal(jax.random.PRNGKey(6), (1, 1288, 1024),
                               jnp.float32)
-        # (small d here so the test stays fast; the guard keys on tile bytes)
         ref = layer_norm(x, backend="reference")
         pal = layer_norm(x, backend="pallas_interpret")
         np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)

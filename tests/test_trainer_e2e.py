@@ -326,9 +326,22 @@ class TestAlternativeAlgorithms:
     def test_one_epoch_updates_policy(self, tiny_pipeline, algo):
         cfg = tiny_config()
         cfg.train.algorithm = algo
+        # per-prompt tracking OFF: non-grpo algorithms must STILL route
+        # through the tracker (the global z-score branch would invert their
+        # advantage semantics) — regression coverage for the driver routing
+        cfg.per_prompt_stat_tracking = False
         trainer = make_trainer(tiny_pipeline, cfg)
+        assert trainer.per_prompt_stats is False
         lora_before = jax.tree_util.tree_map(np.asarray, trainer.state.lora)
         trainer.run(max_epochs=1)
         delta = max(float(np.max(np.abs(np.asarray(b) - lora_before[k])))
                     for k, b in trainer.state.lora.items())
         assert delta > 0, f"{algo} made no update"
+
+    def test_singleton_groups_rejected_for_pairwise_algos(self, tiny_pipeline):
+        cfg = tiny_config()
+        cfg.train.algorithm = "dpo"
+        cfg.sample.num_image_per_prompt = 1
+        cfg.sample.mini_num_image_per_prompt = 1
+        with pytest.raises(ValueError, match="num_image_per_prompt"):
+            make_trainer(tiny_pipeline, cfg)
