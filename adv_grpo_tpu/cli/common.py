@@ -270,6 +270,9 @@ def build_reward_context(config, reward_names):
         else:
             _warn_random("PickScore CLIP-H", "PICKSCORE_DIR")
             ctx.pickscore_params = ps.init_params(key)
+        # freeze a reference to the ORIGINAL weights for the plain
+        # 'pickscore' metric — pickscore_params may drift under co-training
+        ctx.pickscore_frozen_params = ctx.pickscore_params
         tok_dir = os.path.join(str(config.pretrained.model), "tokenizer")
         if os.path.isdir(tok_dir):  # local only: never hit the hub (zero-egress)
             import transformers
@@ -395,9 +398,12 @@ def build_reward_context(config, reward_names):
                 temperature=float(config.get("temperature", 0.2)))
             ctx.dino_multi_params = ctx.dino_multi.init_heads(key)
     if reward_names & {"ocr", "video_ocr"}:
-        from adv_grpo_tpu.rewards.host import OcrScorer
+        from adv_grpo_tpu.rewards.host import OcrScorer, VideoOcrScorer
 
-        ctx.ocr = OcrScorer()
+        # video_ocr scores every-4th-frame clip means on 5-D batches
+        # (reference ocr.py:67-127); plain OcrScorer would mis-handle them
+        ctx.ocr = (VideoOcrScorer() if "video_ocr" in reward_names
+                   else OcrScorer())
     if "discriminator" in reward_names:
         from adv_grpo_tpu.models.stylegan_d import StyleGANDConfig, StyleGANScorer
 

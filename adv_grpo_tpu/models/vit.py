@@ -157,7 +157,10 @@ class VisionTransformer(nn.Module):
         tokens = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype,
                               param_dtype=jnp.float32, name="post_layernorm")(x)
         cls = tokens[:, 0]
-        out = {"tokens": tokens, "cls": cls}
+        # HF CLIPVisionTransformer's last_hidden_state is PRE-post_layernorm
+        # (only the pooled CLS gets the LN) — per-patch consumers that mirror
+        # the reference patch scorer must read this view
+        out = {"tokens": tokens, "cls": cls, "tokens_pre_norm": x}
         if captured:
             out["layer_tokens"] = captured
         if c.projection_dim is not None:

@@ -1,4 +1,5 @@
-"""Host-side reward scorers: JPEG compressibility, OCR, remote HTTP judges.
+"""Host-side reward scorers: JPEG compressibility and OCR (remote HTTP judges
+live in rewards.remote with the reference pickle/sglang protocols).
 
 These are CPU/IO-bound and run asynchronously off the TPU step (the reference
 dispatches them through a ThreadPoolExecutor, train_sd3_fast_pickscore.py:668,
@@ -84,11 +85,20 @@ class OcrScorer:
             raise RuntimeError(
                 "No OCR engine available: install paddleocr or inject engine="
             )
-        targets = [p.split('"')[1] for p in prompts]
+        # quoted-span target (reference ocr.py:31); a prompt with no quoted
+        # span gets the max penalty instead of crashing the reward future
+        def target_of(p):
+            parts = p.split('"')
+            return parts[1] if len(parts) >= 2 else None
+
+        targets = [target_of(p) for p in prompts]
         if images.ndim == 4 and images.shape[1] == 3:  # float CHW
             images = images_to_uint8(np.asarray(images, np.float32))
         rewards = []
         for img, target in zip(images, targets):
+            if target is None:
+                rewards.append(0.0)  # max penalty: no target to match
+                continue
             try:
                 text = self.engine(img)
                 rewards.append(ocr_reward_from_text(text, target))
@@ -110,38 +120,3 @@ class VideoOcrScorer(OcrScorer):
         return np.asarray(out, dtype=np.float64)
 
 
-def make_remote_scorer(url: str, kind: str, max_retries: int = 1000,
-                       backoff: float = 1.0):
-    """HTTP reward clients (GenEval :18085, DeQA :18086, UnifiedReward sglang
-    :17140 — reference rewards.py:761-1010). Returns fn(images_u8, prompts,
-    metadata) -> np.ndarray. Gated on `requests` availability; retry policy
-    mirrors the reference (Retry(total=1000, backoff 1, on 500), :773-775).
-    """
-    import requests
-    from requests.adapters import HTTPAdapter
-    from urllib3.util.retry import Retry
-
-    sess = requests.Session()
-    retries = Retry(total=max_retries, backoff_factor=backoff,
-                    status_forcelist=[500])
-    sess.mount("http://", HTTPAdapter(max_retries=retries))
-
-    def _encode(images_u8):
-        from PIL import Image
-        import base64
-
-        payload = []
-        for arr in images_u8:
-            buf = io.BytesIO()
-            Image.fromarray(arr).save(buf, format="PNG")
-            payload.append(base64.b64encode(buf.getvalue()).decode())
-        return payload
-
-    def _fn(images_u8, prompts, metadata=None):
-        body = {"images": _encode(images_u8), "prompts": list(prompts),
-                "meta": metadata or [{}] * len(prompts), "kind": kind}
-        resp = sess.post(url, json=body, timeout=300)
-        resp.raise_for_status()
-        return np.asarray(resp.json()["rewards"], dtype=np.float64)
-
-    return _fn

@@ -16,6 +16,7 @@ the reference threads through ``scorer=``/``head=`` args, :1047-1081).
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
@@ -29,6 +30,9 @@ class RewardContext:
 
     pickscore: Optional[Any] = None  # PickScoreScorer
     pickscore_params: Optional[Any] = None  # live (possibly co-trained) params
+    # frozen copy for the plain 'pickscore' metric: the reference keeps the
+    # original CLIP-H separate from the co-trained scorer (rewards.py:561-589)
+    pickscore_frozen_params: Optional[Any] = None
     clip: Optional[Any] = None  # CLIPScorer
     clip_params: Optional[Any] = None
     aesthetic: Optional[Any] = None  # AestheticScorer
@@ -47,6 +51,8 @@ class RewardContext:
     stylegan_params: Optional[Any] = None
     remote: Dict[str, Callable] = dataclasses.field(default_factory=dict)
     rng: Optional[Any] = None  # jax PRNG key for patch sampling
+    # reward futures run in a thread pool: rng splits must be atomic
+    rng_lock: Any = dataclasses.field(default_factory=threading.Lock)
 
 
 def _require(obj, name, what):
@@ -63,9 +69,13 @@ def multi_score(score_dict: Dict[str, float], ctx: RewardContext):
         import jax
 
         if name == "pickscore":
+            # FROZEN weights: must not drift with the co-trained scorer
             s = _require(ctx.pickscore, name, "pickscore scorer")
             ids = _require(ctx.tokenize, name, "tokenize")(prompts)
-            return np.asarray(s.score(ctx.pickscore_params, images, jnp.asarray(ids)))
+            params = (ctx.pickscore_frozen_params
+                      if ctx.pickscore_frozen_params is not None
+                      else ctx.pickscore_params)
+            return np.asarray(s.score(params, images, jnp.asarray(ids)))
         if name == "pickscore_cotrain":
             # live co-trained params — same math, current weights (rewards.py:577-589)
             s = _require(ctx.pickscore, name, "pickscore scorer")
@@ -89,8 +99,9 @@ def multi_score(score_dict: Dict[str, float], ctx: RewardContext):
                                               ctx.dino_head_params, images))
         if name == "dino_patch_cotrain":
             s = _require(ctx.dino, name, "dino scorer")
-            key = _require(ctx.rng, name, "rng key")
-            key, ctx.rng = jax.random.split(key)  # fresh patches per call
+            _require(ctx.rng, name, "rng key")
+            with ctx.rng_lock:  # reward futures race on the shared key
+                key, ctx.rng = jax.random.split(ctx.rng)
             return np.asarray(s.patch_cotrain_score(
                 ctx.dino_backbone_params, ctx.dino_head_params, images, key))
         if name == "dino_multi_cotrain":
@@ -151,7 +162,12 @@ def multi_score(score_dict: Dict[str, float], ctx: RewardContext):
         def u8():
             nonlocal images_u8
             if images_u8 is None:
-                images_u8 = images_to_uint8(np.asarray(images, np.float32))
+                arr = np.asarray(images, np.float32)
+                if arr.ndim == 5:  # video (B, T, C, H, W): per-frame convert
+                    flat = images_to_uint8(arr.reshape((-1,) + arr.shape[-3:]))
+                    images_u8 = flat.reshape(arr.shape[:2] + flat.shape[1:])
+                else:
+                    images_u8 = images_to_uint8(arr)
             return images_u8
 
         for name, weight in score_dict.items():

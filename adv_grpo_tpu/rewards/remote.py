@@ -123,6 +123,7 @@ def geneval_score_client(url: str = GENEVAL_URL, batch_size: int = 64,
                 "only_strict": only_strict,
             }
             resp = sess.post(url, data=pickle.dumps(data), timeout=timeout)
+            resp.raise_for_status()  # 502/404 bodies are not pickles
             rd = pickle.loads(resp.content)
             all_scores += list(rd["scores"])
             all_rewards += list(rd["rewards"])
@@ -151,6 +152,7 @@ def deqa_score_client(url: str = DEQA_URL, batch_size: int = 64,
         for chunk in np.array_split(np.arange(len(images_u8)), n_batches):
             data = {"images": jpeg_bytes(images_u8[chunk])}
             resp = sess.post(url, data=pickle.dumps(data), timeout=timeout)
+            resp.raise_for_status()  # 502/404 bodies are not pickles
             all_scores += list(pickle.loads(resp.content)["outputs"])
         return np.asarray(all_scores, np.float64)
 
@@ -173,6 +175,7 @@ def unifiedreward_remote_client(url: str, batch_size: int = 64, session=None,
             data = {"images": jpeg_bytes(images_u8[chunk]),
                     "prompts": [prompts[i] for i in chunk]}
             resp = sess.post(url, data=pickle.dumps(data), timeout=timeout)
+            resp.raise_for_status()  # 502/404 bodies are not pickles
             all_scores += list(pickle.loads(resp.content)["outputs"])
         return np.asarray(all_scores, np.float64)
 
@@ -208,7 +211,12 @@ def unifiedreward_sglang_client(base_url: str = UNIFIEDREWARD_SGLANG_URL,
         }
         resp = sess.post(url, json=body, timeout=timeout,
                          headers={"Authorization": f"Bearer {api_key}"})
-        return resp.json()["choices"][0]["message"]["content"]
+        resp.raise_for_status()
+        payload = resp.json()
+        if "choices" not in payload:  # error body from a proxy/warming judge
+            raise RuntimeError(f"sglang judge returned no choices: "
+                               f"{str(payload)[:200]}")
+        return payload["choices"][0]["message"]["content"]
 
     def _fn(images_u8, prompts, metadata=None):
         del metadata

@@ -299,7 +299,10 @@ def pickscore_patch_score(scorer: "PickScoreScorer", params, images, input_ids):
     pix = scorer.preprocess(images)
     out = scorer.clip.vision_model.apply({"params": params["vision"]}, pix)
     proj = params["vision"]["visual_projection"]["kernel"]
-    patch_emb = out["tokens"] @ proj  # (B, 1+N, proj_dim)
+    # pre-post_layernorm tokens: HF's last_hidden_state, which the reference
+    # projects (pickscore_scorer_patch.py:42-46) — the LN'd view would skew
+    # every patch embedding
+    patch_emb = out["tokens_pre_norm"] @ proj  # (B, 1+N, proj_dim)
     patch_emb = _l2norm(patch_emb)
     txt = _l2norm(scorer.clip.text_features(params, input_ids))
     patch_scores = jnp.einsum("bd,bnd->bn", txt, patch_emb)

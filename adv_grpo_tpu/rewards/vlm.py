@@ -80,7 +80,7 @@ class QwenVLScorer:
                                                      add_generation_prompt=True)
                 inputs = processor(text=[chat], images=[Image.fromarray(arr)],
                                    return_tensors="pt")
-                out = model.generate(**inputs, max_new_tokens=64)
+                out = model.generate(**inputs, max_new_tokens=2048)  # the rubric asks for a <Thought> analysis before <Score> (reference qwenvl.py:91)
                 texts.append(processor.batch_decode(out)[0])
             return texts
 

@@ -83,7 +83,10 @@ def restore_extra(path: str, extra_template: dict) -> Optional[dict]:
     if not os.path.isdir(extra_path):
         return None
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(extra_path)
+        # item=template: without it orbax returns plain nested dicts and the
+        # optax opt_state loses its namedtuple structure — the first D-step
+        # after a warm-start would die on a pytree mismatch
+        restored = ckptr.restore(extra_path, item=extra_template)
     import jax.numpy as jnp
 
     def graft(template, got):

@@ -443,7 +443,9 @@ class GRPOTrainer:
                 if self.reference_store is not None else None)
         details, _ = self.eval_reward_fn(
             images, local_prompts, [{}] * len(local_prompts),
-            ref_images=None if refs is None else jnp.asarray(refs))
+            ref_images=None if refs is None else jnp.asarray(refs),
+            only_strict=False)  # eval runs GenEval's non-strict pass too
+        # (reference scripts/eval.py:260 passes only_strict=False at eval)
 
         def _mean(v):
             # -10 is the reference's failure sentinel — filtered out of eval

@@ -471,3 +471,50 @@ class TestFlopsModel:
                                    logger=CaptureLogger(""))
         trainer.run(max_epochs=1)
         assert logged[-1].get("perf/rollout_tflops_per_sec", 0) > 0
+
+
+class TestCheckpointExtraStructure:
+    def test_d_opt_state_namedtuples_survive_restore(self, tmp_path):
+        """restore_extra must restore with item=template: orbax otherwise
+        returns plain dicts and the optax namedtuple chain (ScaleByAdamState)
+        is lost — the first D-step after a warm-start would die on a pytree
+        mismatch."""
+        import jax.numpy as jnp
+        import optax
+
+        from adv_grpo_tpu.train import checkpoint as ckpt_lib
+        from adv_grpo_tpu.train.train_state import create_generator_state
+        import ml_collections
+
+        params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+        tx = optax.adam(1e-3, b1=0.5)
+        opt_state = tx.init(params)
+        # move the state so restored values are distinguishable from init
+        updates, opt_state = tx.update(
+            jax.tree_util.tree_map(jnp.ones_like, params), opt_state, params)
+
+        tcfg = ml_collections.ConfigDict(dict(
+            learning_rate=1e-4, adam_beta1=0.9, adam_beta2=0.999,
+            adam_epsilon=1e-8, adam_weight_decay=0.0, max_grad_norm=1.0,
+            gradient_accumulation_steps=1, ema=False, ema_decay=0.9,
+            ema_interval=8))
+        gstate = create_generator_state({"l": jnp.ones((2,))}, tcfg, 1)
+        path = ckpt_lib.save_state(
+            str(tmp_path), 7, gstate,
+            extra={"d_params": params, "d_opt_state": opt_state})
+
+        fresh_opt = tx.init(params)
+        restored = ckpt_lib.restore_extra(
+            path, {"d_params": jax.tree_util.tree_map(jnp.zeros_like, params),
+                   "d_opt_state": fresh_opt})
+        # structure identical to a live optax state -> tx.update works
+        r_opt = restored["d_opt_state"]
+        assert (jax.tree_util.tree_structure(r_opt)
+                == jax.tree_util.tree_structure(fresh_opt))
+        u2, _ = tx.update(jax.tree_util.tree_map(jnp.ones_like, params),
+                          r_opt, restored["d_params"])
+        # restored moments match the saved (post-update) state
+        import numpy as np
+        saved_mu = jax.tree_util.tree_leaves(opt_state)[1]
+        rest_mu = jax.tree_util.tree_leaves(r_opt)[1]
+        np.testing.assert_allclose(np.asarray(rest_mu), np.asarray(saved_mu))
