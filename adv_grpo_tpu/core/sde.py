@@ -30,7 +30,13 @@ class SDEStepResult(NamedTuple):
     prev_sample: jax.Array  # x_{t-1}, float32
     log_prob: jax.Array  # (B,) per-sample logprob (mean over non-batch dims)
     prev_sample_mean: jax.Array  # mean of the transition Gaussian, float32
-    std_dev_t: jax.Array  # per-sample (broadcast) std of the transition
+    # per-sample (broadcast) noise scale. NOTE per-function semantics:
+    # cps/flow steps return the pre-dt std_dev_t (the reference's field,
+    # sd3_sde_with_logprob.py:64/118 — flow's actual transition std is
+    # std_dev_t*sqrt(-dt)), while the WAN step returns the dt-scaled
+    # step_std, which IS its transition std (its per-step KL divides by
+    # this field squared, wan_pipeline_with_logprob.py:311-341).
+    std_dev_t: jax.Array
 
 
 def _bcast(x, ndim: int) -> jax.Array:

@@ -14,6 +14,7 @@ scripts/train_sd3_fast_pickscore.py:50-85, :705-707, :773-799):
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import random
@@ -96,7 +97,7 @@ class ReferenceImageStore:
     def _choose(self, prompt: str, rng) -> Optional[List[str]]:
         """Resolved file paths for one prompt, or None (missing prompt)."""
         files = self.prompt2files.get(prompt)
-        if files is None:
+        if not files:  # missing OR an empty list (failed generation run)
             if self.strict:
                 # the DINO trainer exits hard on a missing train reference
                 # (train_sd3_fast_dino_patch.py:875-878)
@@ -136,10 +137,23 @@ class ReferenceImageStore:
         flat = [path for paths in per_prompt if paths is not None
                 for path in paths]
         native = load_images_chw(flat, self.resolution) if flat else None
-        if native is None:  # no native lib: PIL path
-            return np.stack([self.get(p, rng) if paths is not None
-                             else np.stack([self._fallback()] * self.num_refs)
-                             for p, paths in zip(prompts, per_prompt)])
+        if native is None:  # no native lib: PIL path over the SAME chosen
+            # paths (re-drawing via self.get would advance the seeded rng and
+            # diverge from the native path's selection)
+            def pil_load(paths):
+                if paths is None:
+                    return np.stack([self._fallback()] * self.num_refs)
+                out = []
+                for path in paths:
+                    try:
+                        out.append(self._load_one(path))
+                    except Exception:
+                        if self.strict:
+                            raise
+                        out.append(self._fallback())
+                return np.stack(out)
+
+            return np.stack([pil_load(paths) for paths in per_prompt])
         images, ok = native
         if self.strict and not ok.all():
             bad = [flat[i] for i in np.flatnonzero(~ok)[:3]]
@@ -160,6 +174,7 @@ class ReferenceImageStore:
 # ───────────────────────── prompt functions (adv_grpo/prompts.py) ─────────────
 
 
+@functools.lru_cache(maxsize=64)
 def _asset_lines(name: str) -> List[str]:
     path = os.path.join(os.path.dirname(__file__), "assets", name)
     with open(path) as f:

@@ -78,7 +78,10 @@ def to_local_np(x) -> np.ndarray:
     """
     if jax.process_count() == 1:
         return np.asarray(x)
-    shards = sorted(x.addressable_shards,
+    # replica_id == 0 dedups copies on any replicated mesh axis (e.g. a
+    # future 'model' axis): each batch shard appears once per replica in
+    # addressable_shards and naive concatenation would duplicate rows
+    shards = sorted((s for s in x.addressable_shards if s.replica_id == 0),
                     key=lambda s: s.index[0].start or 0)
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 

@@ -96,6 +96,19 @@ class GRPOTrainer:
                                                 self.mesh)
 
         s = config.sample
+        # the stochastic window [rt, rt+T) must fit the schedule for every
+        # possible rt — past-the-end indices would be CLAMPED by the window
+        # gather, silently duplicating the last step's transition. rt is
+        # fixed when sample.random_timestep is set (e.g. 0 for the full-SDE
+        # mode where train_num_steps == num_steps), else up to num_steps//2.
+        max_rt = (int(s.random_timestep) if s.random_timestep is not None
+                  else int(s.num_steps) // 2)
+        if int(s.train_num_steps) + max_rt > int(s.num_steps):
+            raise ValueError(
+                f"train_num_steps={int(s.train_num_steps)} does not fit the "
+                f"schedule: the window start goes up to {max_rt}, so "
+                f"train_num_steps must be <= {int(s.num_steps) - max_rt} "
+                f"for num_steps={int(s.num_steps)}")
         self.sampler_cfg = SamplerConfig(
             num_steps=s.num_steps, train_num_steps=s.train_num_steps,
             guidance_scale=s.guidance_scale if config.train.cfg else 1.0,
