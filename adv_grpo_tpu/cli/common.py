@@ -90,7 +90,13 @@ def build_pipeline(config, latent_hw: Optional[int] = None):
     # ("fp16" maps to bf16 — fp16 has no TPU advantage and worse range)
     want = str(config.tpu.get("compute_dtype", "")
                or config.get("mixed_precision", "bf16"))
-    dtype = jnp.float32 if want in ("fp32", "float32", "no") else jnp.bfloat16
+    _FP32 = ("fp32", "float32", "no")
+    _BF16 = ("bf16", "bfloat16", "fp16", "float16")
+    if want not in _FP32 + _BF16:
+        raise ValueError(
+            f"Unrecognized compute dtype {want!r} (from tpu.compute_dtype / "
+            f"mixed_precision); expected one of {_FP32 + _BF16}")
+    dtype = jnp.float32 if want in _FP32 else jnp.bfloat16
     if model_dir and os.path.isdir(model_dir):
         return SD3Pipeline.from_pretrained(
             model_dir, lora_rank=lora_rank,

@@ -115,6 +115,10 @@ def main(argv=None):
     parser.add_argument("--latent_hw", type=int, default=None)
     parser.add_argument("--set", action="append", default=[], metavar="K=V",
                         help="config override, e.g. --set train.learning_rate=1e-4")
+    parser.add_argument("--resume", default=None, metavar="PATH|latest",
+                        help="resume full training state from a checkpoint "
+                             "dir, or 'latest' for the newest one under "
+                             "save_dir/checkpoints")
     args = parser.parse_args(argv)
 
     maybe_init_distributed()
@@ -142,6 +146,22 @@ def main(argv=None):
         config.run_name = (run + "_" + unique) if run else unique
         config.save_dir = os.path.join(str(config.logdir), config.run_name)
     trainer = build_trainer(config, latent_hw=args.latent_hw)
+    # generator warm-start from a LoRA adapter (reference
+    # train_sd3_fast_pickscore.py:506-509 via config.train.lora_path) —
+    # --resume (full state incl. optimizer/EMA/step) supersedes it
+    if args.resume:
+        from adv_grpo_tpu.train import checkpoint as ckpt_lib
+
+        path = args.resume
+        if path == "latest":
+            path = ckpt_lib.latest_checkpoint(str(config.save_dir))
+            if path is None:
+                raise FileNotFoundError(
+                    f"--resume latest: no checkpoints under "
+                    f"{config.save_dir}/checkpoints")
+        trainer.restore(path)
+    elif config.train.get("lora_path", None):
+        trainer.warm_start_lora(str(config.train.lora_path))
     eval_prompts = None
     try:
         from adv_grpo_tpu.data.datasets import TextPromptDataset

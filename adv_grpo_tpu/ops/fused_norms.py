@@ -70,7 +70,12 @@ def _ln_reference(x, eps, out_dtype):
 def _layer_norm_p(x, eps, out_dtype, interpret):
     b, s, d = x.shape
     bs = _pick_rows(s, d * 4)
-    if not bs:
+    # lane-alignment guard (compiled mode only): non-128-multiple feature
+    # dims would rely on Mosaic's implicit lane masking, which tests only
+    # exercise in interpret mode — route them to the XLA path on real TPUs
+    # (production callers all use aligned d); interpret keeps the kernel so
+    # tests still cover it
+    if not bs or (d % 128 and not interpret):
         return _ln_reference(x, eps, out_dtype)
     return pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),

@@ -9,6 +9,7 @@ dispatches them through a ThreadPoolExecutor, train_sd3_fast_pickscore.py:668,
 from __future__ import annotations
 
 import io
+import logging
 from typing import List
 
 import numpy as np
@@ -92,6 +93,14 @@ class OcrScorer:
             return parts[1] if len(parts) >= 2 else None
 
         targets = [target_of(p) for p in prompts]
+        n_missing = sum(t is None for t in targets)
+        if n_missing and not getattr(self, "_warned_unquoted", False):
+            self._warned_unquoted = True
+            logging.getLogger(__name__).warning(
+                "OCR reward: %d/%d prompts have no quoted target span — "
+                "they score 0.0 (max penalty). If this persists, the "
+                "prompt_fn/dataset pairing is likely misconfigured.",
+                n_missing, len(targets))
         if images.ndim == 4 and images.shape[1] == 3:  # float CHW
             images = images_to_uint8(np.asarray(images, np.float32))
         rewards = []

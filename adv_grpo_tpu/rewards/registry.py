@@ -88,11 +88,21 @@ def multi_score(score_dict: Dict[str, float], ctx: RewardContext):
         if name == "aesthetic":
             s = _require(ctx.aesthetic, name, "aesthetic scorer")
             return np.asarray(s.score(ctx.aesthetic_params, images))
-        if name in ("image_similarity", "image_similarity_eval"):
+        if name == "image_similarity":
             s = _require(ctx.dino, name, "dino scorer")
             refs = _require(ref_images, name, "ref_images")
             return np.asarray(s.similarity_to_refs(ctx.dino_backbone_params,
                                                    images, refs))
+        if name == "image_similarity_eval":
+            # eval variant also surfaces the DINO CLS embeddings into
+            # score_details (reference rewards.py:1061-1064 stores
+            # feat/ref_feat from image_similarity_score_eval, :208-262)
+            s = _require(ctx.dino, name, "dino scorer")
+            refs = _require(ref_images, name, "ref_images")
+            scores, feat, ref_feat = s.similarity_to_refs_with_feats(
+                ctx.dino_backbone_params, images, refs)
+            return (np.asarray(scores), np.asarray(feat),
+                    np.asarray(ref_feat))
         if name == "dino_cotrain":
             s = _require(ctx.dino, name, "dino scorer")
             return np.asarray(s.cotrain_score(ctx.dino_backbone_params,
@@ -188,6 +198,11 @@ def multi_score(score_dict: Dict[str, float], ctx: RewardContext):
                     score_details[f"{key}_strict_accuracy"] = value
                 for key, value in group_r.items():
                     score_details[f"{key}_accuracy"] = value
+            elif name == "image_similarity_eval":
+                scores, feat, ref_feat = _device_scores(
+                    name, images, prompts, metadata, ref_images)
+                score_details["feat"] = feat
+                score_details["ref_feat"] = ref_feat
             elif name in DEVICE:
                 scores = _device_scores(name, images, prompts, metadata, ref_images)
             elif name == "jpeg_compressibility":

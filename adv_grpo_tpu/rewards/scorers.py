@@ -183,6 +183,8 @@ class DINOScorer:
         self.head = DINOHead(self.head_hidden)
         self.features = jax.jit(self.features)
         self.similarity_to_refs = jax.jit(self.similarity_to_refs)
+        self.similarity_to_refs_with_feats = jax.jit(
+            self.similarity_to_refs_with_feats)
         self.cotrain_score = jax.jit(self.cotrain_score)
         self.patch_cotrain_score = jax.jit(
             self.patch_cotrain_score,
@@ -214,6 +216,19 @@ class DINOScorer:
         ref_cls = ref_cls.reshape(B, R, -1)
         sims = jnp.einsum("bd,brd->br", cls, ref_cls)
         return jnp.max(sims, axis=1)
+
+    def similarity_to_refs_with_feats(self, backbone_params, images,
+                                      ref_images):
+        """Like similarity_to_refs, but also returns the CLS embeddings
+        (reference image_similarity_score_eval, rewards.py:208-262, returns
+        feat/ref_feat into score_details for eval observability)."""
+        cls = _l2norm(self.features(backbone_params, images)[:, 0])
+        B, R = ref_images.shape[:2]
+        refs = ref_images.reshape((B * R,) + ref_images.shape[2:])
+        ref_cls = _l2norm(self.features(backbone_params, refs)[:, 0])
+        ref_cls = ref_cls.reshape(B, R, -1)
+        sims = jnp.einsum("bd,brd->br", cls, ref_cls)
+        return jnp.max(sims, axis=1), cls, ref_cls
 
     def cotrain_score(self, backbone_params, head_params, images):
         cls = self.features(backbone_params, images)[:, 0]

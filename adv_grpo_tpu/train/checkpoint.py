@@ -116,6 +116,18 @@ def load_lora_only(path: str) -> dict:
         return ckptr.restore(path)
 
 
+def latest_checkpoint(save_dir: str) -> Optional[str]:
+    """Newest checkpoint-{step} dir under save_dir/checkpoints, or None."""
+    root = os.path.join(save_dir, "checkpoints")
+    if not os.path.isdir(root):
+        return None
+    ckpts = sorted(
+        (d for d in os.listdir(root) if d.startswith("checkpoint-")),
+        key=lambda d: int(d.split("-")[1]),
+    )
+    return os.path.join(root, ckpts[-1]) if ckpts else None
+
+
 def prune_checkpoints(save_dir: str, keep: int):
     """Keep the newest ``keep`` checkpoints (reference num_checkpoint_limit)."""
     root = os.path.join(save_dir, "checkpoints")

@@ -356,8 +356,10 @@ class GRPOTrainer:
                 # re-traverse the epoch's samples, reshuffled per inner epoch
                 # (reference inner loop, train_sd3_fast_pickscore.py:1062 +
                 # per-inner-epoch torch.randperm shuffle :1064-1071). The
-                # permutation stays within replica shards so resharded rows
-                # keep their rank locality.
+                # permutation is global over this process's local rows;
+                # advantages/log-probs travel with their rows, and in
+                # multi-host each process permutes only its own local data,
+                # so no cross-host resharding traffic is created.
                 if inner == 0:
                     d = data
                 else:
@@ -601,6 +603,39 @@ class GRPOTrainer:
                                 state.lora, use_ema_weights=ema_weights)
         ckpt_lib.prune_checkpoints(str(cfg.save_dir), int(cfg.num_checkpoint_limit))
         return path
+
+    def warm_start_lora(self, path: str):
+        """Generator warm-start from a LoRA-only adapter: load the adapter
+        leaves into state.lora (and re-seed the EMA shadow from them) while
+        keeping fresh optimizer state — the reference's ``train.lora_path``
+        (train_sd3_fast_pickscore.py:506-509 loads a peft adapter into the
+        transformer before training)."""
+        loaded = ckpt_lib.load_lora_only(path)
+        cur = self.state.lora
+        if set(loaded) != set(cur):
+            missing = sorted(set(cur) - set(loaded))[:3]
+            extra = sorted(set(loaded) - set(cur))[:3]
+            raise ValueError(
+                f"LoRA adapter at {path} does not match this model's LoRA "
+                f"tree (missing {missing}..., unexpected {extra}...) — check "
+                f"lora_rank / target modules")
+        import jax.numpy as jnp
+
+        lora = {}
+        for k in cur:
+            v = jnp.asarray(loaded[k], dtype=cur[k].dtype)
+            if v.shape != cur[k].shape:
+                raise ValueError(
+                    f"LoRA leaf {k}: adapter shape {v.shape} != model "
+                    f"{cur[k].shape} (different lora_rank?)")
+            lora[k] = v
+        state = self.state.replace(lora=lora)
+        if state.ema is not None:
+            from adv_grpo_tpu.core.ema import EMAState
+
+            state = state.replace(ema=EMAState(dict(lora)))
+        self.state = jax.device_put(state, self._repl)
+        return self.state
 
     def restore(self, path: str):
         """Full resume: generator state + (when co-training) the D-state."""

@@ -130,6 +130,19 @@ class TestBuildPipelineLoudFailure:
         with pytest.raises(FileNotFoundError):
             build_pipeline(cfg)
 
+    def test_unrecognized_dtype_raises(self):
+        """A typo'd compute dtype must error, not silently map to bf16
+        (ADVICE r2: an intended full-precision run could be masked)."""
+        import pytest
+
+        from adv_grpo_tpu.cli.common import build_pipeline
+        from adv_grpo_tpu.config import grpo as grpo_config
+
+        cfg = grpo_config.pickscore_cotrain_sd3_fast(replica_count=1)
+        cfg.tpu.compute_dtype = "f32"
+        with pytest.raises(ValueError, match="f32"):
+            build_pipeline(cfg)
+
 
 class TestDatasetLimit:
     def test_limit_truncates(self, tmp_path):

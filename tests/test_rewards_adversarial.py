@@ -194,6 +194,40 @@ class TestRegistry:
         # an identical reference is among the refs -> max similarity == 1
         np.testing.assert_allclose(np.asarray(sims), 1.0, atol=1e-4)
 
+    def test_image_similarity_eval_surfaces_embeddings(self):
+        """image_similarity_eval returns feat/ref_feat into score_details
+        (reference rewards.py:1061-1064 from image_similarity_score_eval
+        :208-262); plain image_similarity does not."""
+        dino = DINOScorer(ViTConfig.dinov2_base(image_size=28, num_layers=1,
+                                                hidden_size=32,
+                                                intermediate_size=64,
+                                                num_heads=2),
+                          image_size=28)
+        bp = dino.init_backbone(jax.random.PRNGKey(0))
+        ctx = RewardContext(dino=dino, dino_backbone_params=bp)
+        imgs = np.random.default_rng(0).uniform(
+            -1, 1, (2, 3, 28, 28)).astype(np.float32)
+        refs = np.stack([imgs, imgs * 0.5], axis=1)  # (B, R=2, ...)
+        fn = multi_score({"image_similarity_eval": 1.0}, ctx)
+        details, _ = fn(jnp.asarray(imgs), ["a", "b"],
+                        ref_images=jnp.asarray(refs))
+        assert set(details) == {"image_similarity_eval", "feat", "ref_feat",
+                                "avg"}
+        assert details["feat"].shape == (2, 32)
+        assert details["ref_feat"].shape == (2, 2, 32)
+        # embeddings are L2-normalised CLS features; scores match cosine max
+        np.testing.assert_allclose(
+            np.linalg.norm(details["feat"], axis=-1), 1.0, atol=1e-5)
+        want = np.einsum("bd,brd->br", details["feat"],
+                         details["ref_feat"]).max(axis=1)
+        np.testing.assert_allclose(details["image_similarity_eval"], want,
+                                   rtol=1e-5)
+        # the plain training-time name keeps the lean (scores-only) payload
+        fn2 = multi_score({"image_similarity": 1.0}, ctx)
+        details2, _ = fn2(jnp.asarray(imgs), ["a", "b"],
+                          ref_images=jnp.asarray(refs))
+        assert set(details2) == {"image_similarity", "avg"}
+
 
 class TestDinoMultiDStep:
     def test_heads_and_fusion_train(self):

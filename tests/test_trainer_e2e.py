@@ -119,6 +119,85 @@ class TestTrainerE2E:
                 str(tmp_path), "checkpoints",
                 f"checkpoint-{int(st.global_step)}", "lora"))
 
+    def test_warm_start_lora(self, tiny_pipeline, tmp_path):
+        """train.lora_path warm-start: adapter leaves land in state.lora and
+        re-seed the EMA shadow, optimizer state stays fresh (reference
+        train_sd3_fast_pickscore.py:506-509)."""
+        cfg = tiny_config()
+        cfg.save_dir = str(tmp_path)
+        trainer = make_trainer(tiny_pipeline, cfg)
+        trainer.run(max_epochs=1)
+        from adv_grpo_tpu.train import checkpoint as ckpt_lib
+
+        lora_after = jax.tree_util.tree_map(np.asarray, trainer.state.lora)
+        lora_dir = ckpt_lib.save_lora_only(str(tmp_path), 7,
+                                           trainer.state.lora)
+
+        fresh = make_trainer(tiny_pipeline, tiny_config())
+        # fresh init differs from the trained adapter
+        assert any(np.max(np.abs(np.asarray(fresh.state.lora[k]) - v)) > 0
+                   for k, v in lora_after.items())
+        fresh.warm_start_lora(lora_dir)
+        for k, v in lora_after.items():
+            np.testing.assert_allclose(np.asarray(fresh.state.lora[k]), v,
+                                       atol=1e-6)
+            if fresh.state.ema is not None:
+                np.testing.assert_allclose(
+                    np.asarray(fresh.state.ema.params[k]), v, atol=1e-6)
+        assert int(fresh.state.global_step) == 0  # fresh optimizer/step
+        # a warm-started trainer trains
+        fresh.run(max_epochs=1)
+        assert int(fresh.state.global_step) >= 1
+
+    def test_warm_start_lora_shape_mismatch(self, tiny_pipeline, tmp_path):
+        cfg = tiny_config()
+        trainer = make_trainer(tiny_pipeline, cfg)
+        from adv_grpo_tpu.train import checkpoint as ckpt_lib
+
+        bad = {k: np.zeros(v.shape + (2,), np.float32)
+               for k, v in trainer.state.lora.items()}
+        path = ckpt_lib.save_lora_only(str(tmp_path), 1, bad)
+        with pytest.raises(ValueError, match="shape"):
+            trainer.warm_start_lora(path)
+
+    def test_resume_continues_from_step(self, tiny_pipeline, tmp_path):
+        """--resume: full state restore — step counters continue, training
+        proceeds from the restored point."""
+        cfg = tiny_config()
+        cfg.save_dir = str(tmp_path)
+        trainer = make_trainer(tiny_pipeline, cfg)
+        trainer.run(max_epochs=1)
+        step1 = int(trainer.state.global_step)
+        micro1 = int(trainer.state.micro_step)
+        path = trainer.save()
+        from adv_grpo_tpu.train import checkpoint as ckpt_lib
+
+        assert ckpt_lib.latest_checkpoint(str(tmp_path)) is not None
+        assert os.path.samefile(ckpt_lib.latest_checkpoint(str(tmp_path)), path)
+
+        cfg2 = tiny_config()
+        cfg2.save_dir = str(tmp_path)
+        resumed = make_trainer(tiny_pipeline, cfg2)
+        resumed.restore(path)
+        assert int(resumed.state.global_step) == step1
+        assert int(resumed.state.micro_step) == micro1
+        for k in trainer.state.lora:
+            np.testing.assert_allclose(np.asarray(resumed.state.lora[k]),
+                                       np.asarray(trainer.state.lora[k]))
+        resumed.run(max_epochs=1)
+        assert int(resumed.state.global_step) > step1
+        assert int(resumed.state.micro_step) > micro1
+
+    def test_latest_checkpoint_ordering(self, tmp_path):
+        from adv_grpo_tpu.train import checkpoint as ckpt_lib
+
+        assert ckpt_lib.latest_checkpoint(str(tmp_path)) is None
+        for step in (2, 10, 9):  # numeric, not lexicographic, ordering
+            os.makedirs(os.path.join(str(tmp_path), "checkpoints",
+                                     f"checkpoint-{step}"))
+        got = ckpt_lib.latest_checkpoint(str(tmp_path))
+        assert got.endswith("checkpoint-10")
+
     def test_dino_periodic_gate(self, tiny_pipeline):
         cfg = tiny_config()
         cfg.train_d = True
