@@ -290,8 +290,47 @@ def convert_siglip(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
 # ───────────────────────────── MMDiT (diffusers SD3Transformer2DModel) ───────
 
 
+def detect_pos_embed_base(sd: Dict[str, np.ndarray], embed_dim: int,
+                          max_size: int, sample_size: int, patch_size: int):
+    """Read the position-scaling convention off the checkpoint's persisted
+    sincos table (``pos_embed.pos_embed`` — diffusers PatchEmbed registers it
+    persistent when pos_embed_max_size is set, so SD3 repos ship it).
+
+    Returns the ``MMDiTConfig.pos_embed_base_size`` value that reproduces the
+    persisted table: ``sample_size // patch_size`` for the diffusers
+    get_2d_sincos_pos_embed convention (positions scaled by
+    base_size/grid_size), ``None`` for raw integer positions (the original
+    Stability MMDiT table). Raises when the table matches neither — loading
+    such weights silently would generate garbage. When the checkpoint has no
+    persisted table there is nothing to detect; returns ``default``.
+    """
+    key = "pos_embed.pos_embed"
+    if key not in sd:
+        return None
+    from adv_grpo_tpu.models.mmdit import _sincos_table
+
+    table = np.asarray(sd[key], np.float64).reshape(max_size, max_size, -1)
+    n = min(3, max_size)
+    window = table[:n, :n]
+    base = sample_size // patch_size
+    for cand in (base, None):
+        scale = (cand / max_size) if cand is not None else 1.0
+        coords = np.arange(n, dtype=np.float64) * scale
+        want = _sincos_table(embed_dim, coords, coords)
+        # fp16 checkpoints quantise the stored table
+        if np.allclose(window, want, atol=5e-3):
+            return cand
+    raise ValueError(
+        "pos_embed.pos_embed in the checkpoint matches neither the diffusers "
+        f"base-scaled sincos table (base_size={base}) nor the raw-integer "
+        "table — refusing to convert (the model would run with a wrong "
+        "positional embedding)")
+
+
 def convert_mmdit(sd: Dict[str, np.ndarray], cfg) -> Dict:
     g = _Taken(sd)
+    if g.has("pos_embed.pos_embed"):
+        g("pos_embed.pos_embed")  # consumed by detect_pos_embed_base
     patch_w = g("pos_embed.proj.weight")  # (dim, C, p, p)
     dim, C, p_, _ = patch_w.shape
     params: Dict[str, Any] = {
@@ -725,6 +764,14 @@ def load_sd3_pipeline(model_dir: str, *, lora_rank=0, lora_alpha=1.0,
         remat_policy=remat_policy, attention_backend=attention_backend,
     )
     t_sd = load_torch_state_dict(os.path.join(model_dir, "transformer"))
+    # position-table convention read off the persisted buffer (see
+    # detect_pos_embed_base) — MMDiT recomputes the cropped table per
+    # resolution instead of carrying the 384^2 buffer (906 MB fp32)
+    import dataclasses as _dc
+
+    mmdit_cfg = _dc.replace(mmdit_cfg, pos_embed_base_size=detect_pos_embed_base(
+        t_sd, mmdit_cfg.hidden_dim, mmdit_cfg.pos_embed_max_size,
+        tc.get("sample_size", 128), tc["patch_size"]))
     params = convert_mmdit(t_sd, mmdit_cfg)
     if lora_rank > 0:
         params = _add_lora_leaves(params, mmdit_cfg)

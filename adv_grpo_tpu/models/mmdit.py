@@ -56,6 +56,9 @@ class MMDiTConfig:
     joint_attention_dim: int = 4096  # text token width (T5 dim)
     pooled_projection_dim: int = 2048
     pos_embed_max_size: int = 384
+    # position scaling of the fixed sincos table (see cropped_pos_embed);
+    # set from the checkpoint's persisted table at convert time
+    pos_embed_base_size: Optional[int] = None
     qk_norm: bool = True
     dual_attention_layers: Tuple[int, ...] = tuple(range(13))
     sample_size: int = 128
@@ -129,14 +132,25 @@ def _sincos_table(embed_dim: int, rows: np.ndarray, cols: np.ndarray) -> np.ndar
     return out.reshape(len(rows), len(cols), embed_dim)
 
 
-def cropped_pos_embed(embed_dim: int, max_size: int, gh: int, gw: int) -> np.ndarray:
+def cropped_pos_embed(embed_dim: int, max_size: int, gh: int, gw: int,
+                      base_size: Optional[int] = None) -> np.ndarray:
     """Centre-cropped fixed table (diffusers PatchEmbed cropped_pos_embed
     semantics) computed only over the needed (gh, gw) window — avoids
-    materialising the full max_size^2 table (906 MB at SD3.5-M scale)."""
+    materialising the full max_size^2 table (906 MB at SD3.5-M scale).
+
+    ``base_size``: diffusers get_2d_sincos_pos_embed scales grid positions by
+    base_size/grid_size (base_size = sample_size // patch_size); None keeps
+    raw integer positions (the original Stability MMDiT table). SD3
+    checkpoints persist the table (PatchEmbed registers it persistent when
+    pos_embed_max_size is set), so convert.detect_pos_embed_base reads the
+    truth off the checkpoint and sets MMDiTConfig.pos_embed_base_size."""
     top = (max_size - gh) // 2
     left = (max_size - gw) // 2
     rows = np.arange(top, top + gh, dtype=np.float64)
     cols = np.arange(left, left + gw, dtype=np.float64)
+    if base_size is not None:
+        rows = rows * (base_size / max_size)
+        cols = cols * (base_size / max_size)
     return _sincos_table(embed_dim, rows, cols).reshape(1, gh * gw, embed_dim)
 
 
@@ -377,7 +391,8 @@ class MMDiT(nn.Module):
 
         # centre-cropped fixed sincos position table (diffusers PatchEmbed
         # semantics); a trace-time constant — gh/gw are static under jit
-        pos = jnp.asarray(cropped_pos_embed(dim, c.pos_embed_max_size, gh, gw))
+        pos = jnp.asarray(cropped_pos_embed(dim, c.pos_embed_max_size, gh, gw,
+                                            base_size=c.pos_embed_base_size))
         x = x + pos.astype(c.dtype)
 
         # conditioning vector: timestep + pooled text

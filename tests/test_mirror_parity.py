@@ -1,0 +1,140 @@
+"""Activation-parity tests for the policy-path converters against minimal
+torch mirrors of the diffusers module graphs (VERDICT r2 #1).
+
+Technique: build the torch mirror (state-dict-compatible naming), randomise
+its weights, export ``state_dict()`` as the synthetic diffusers checkpoint,
+run it through our converter + Flax model, and assert fp32 forward parity —
+exactly how tests/test_convert.py validates UMT5/SigLIP/DINOv2/BLIP against
+installed HF implementations. The reference gets this for free via
+``StableDiffusion3Pipeline.from_pretrained``
+(/root/reference/scripts/train_sd3_fast_pickscore.py:447-486).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from adv_grpo_tpu.models import convert
+from adv_grpo_tpu.models.mmdit import MMDiT, MMDiTConfig, cropped_pos_embed
+from adv_grpo_tpu.models.vae import AutoencoderKL, VAEConfig
+
+
+def randomize(module: torch.nn.Module, seed: int, std: float = 0.08):
+    """Random weights everywhere (incl. norm scales/biases) so parity cannot
+    pass by accident of zeros/ones; buffers (pos tables) stay untouched."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * std)
+    return module
+
+
+def to_numpy_sd(module: torch.nn.Module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+class TestMMDiTParity:
+    def _cfg(self):
+        return MMDiTConfig.tiny(lora_rank=0, dtype=jnp.float32)
+
+    def _mirror_and_params(self, cfg):
+        from tests.mirrors.sd3_torch import SD3TransformerMirror
+
+        mirror = randomize(SD3TransformerMirror(cfg), seed=0).eval()
+        sd = to_numpy_sd(mirror)
+        base = convert.detect_pos_embed_base(
+            sd, cfg.hidden_dim, cfg.pos_embed_max_size, cfg.sample_size,
+            cfg.patch_size)
+        cfg = dataclasses.replace(cfg, pos_embed_base_size=base)
+        return mirror, cfg, convert.convert_mmdit(sd, cfg)
+
+    def test_forward_parity(self):
+        cfg = self._cfg()
+        mirror, cfg, params = self._mirror_and_params(cfg)
+        rng = np.random.default_rng(0)
+        lat = rng.normal(0, 1, (2, cfg.in_channels, 8, 8)).astype(np.float32)
+        t = np.asarray([17.0, 999.0], np.float32)
+        ctx = rng.normal(0, 1, (2, 6, cfg.joint_attention_dim)).astype(np.float32)
+        pooled = rng.normal(0, 1, (2, cfg.pooled_projection_dim)).astype(np.float32)
+
+        want = mirror(torch.tensor(lat), torch.tensor(t), torch.tensor(ctx),
+                      torch.tensor(pooled)).numpy()
+        got = np.asarray(MMDiT(cfg).apply(
+            {"params": params}, jnp.asarray(lat), jnp.asarray(t),
+            jnp.asarray(ctx), jnp.asarray(pooled)))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+    def test_pos_embed_detection_diffusers_convention(self):
+        """The mirror persists a base-scaled table (sample=128, patch=2 ->
+        base 64; max_size 32 -> positions scaled 2x) and detection reads
+        exactly that convention back."""
+        cfg = self._cfg()
+        _, cfg2, _ = self._mirror_and_params(cfg)
+        assert cfg2.pos_embed_base_size == cfg.sample_size // cfg.patch_size
+
+    def test_pos_embed_detection_raw_and_garbage(self):
+        cfg = self._cfg()
+        dim, m = cfg.hidden_dim, cfg.pos_embed_max_size
+        raw = cropped_pos_embed(dim, m, m, m, base_size=None)
+        sd = {"pos_embed.pos_embed": raw.reshape(1, m * m, dim)}
+        assert convert.detect_pos_embed_base(
+            sd, dim, m, cfg.sample_size, cfg.patch_size) is None
+        sd = {"pos_embed.pos_embed": np.full((1, m * m, dim), 0.123, np.float32)}
+        with pytest.raises(ValueError, match="positional"):
+            convert.detect_pos_embed_base(sd, dim, m, cfg.sample_size,
+                                          cfg.patch_size)
+        # no persisted table -> nothing to detect
+        assert convert.detect_pos_embed_base({}, dim, m, cfg.sample_size,
+                                             cfg.patch_size) is None
+
+    def test_cropped_window_parity(self):
+        """Non-square-filling latents exercise the centre-crop path on both
+        sides (diffusers PatchEmbed.cropped_pos_embed)."""
+        cfg = self._cfg()
+        mirror, cfg, params = self._mirror_and_params(cfg)
+        rng = np.random.default_rng(1)
+        lat = rng.normal(0, 1, (1, cfg.in_channels, 24, 16)).astype(np.float32)
+        t = np.asarray([250.0], np.float32)
+        ctx = rng.normal(0, 1, (1, 4, cfg.joint_attention_dim)).astype(np.float32)
+        pooled = rng.normal(0, 1, (1, cfg.pooled_projection_dim)).astype(np.float32)
+        want = mirror(torch.tensor(lat), torch.tensor(t), torch.tensor(ctx),
+                      torch.tensor(pooled)).numpy()
+        got = np.asarray(MMDiT(cfg).apply(
+            {"params": params}, jnp.asarray(lat), jnp.asarray(t),
+            jnp.asarray(ctx), jnp.asarray(pooled)))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+class TestVAEParity:
+    def _pair(self):
+        from tests.mirrors.sd3_torch import AutoencoderKLMirror
+
+        cfg = VAEConfig.tiny()
+        mirror = randomize(AutoencoderKLMirror(cfg), seed=3).eval()
+        params = convert.convert_vae(to_numpy_sd(mirror), cfg)
+        return cfg, mirror, params
+
+    def test_encoder_parity(self):
+        cfg, mirror, params = self._pair()
+        imgs = np.random.default_rng(0).uniform(
+            -1, 1, (2, 3, 16, 16)).astype(np.float32)
+        want = mirror.encode_moments(torch.tensor(imgs)).numpy()
+        model = AutoencoderKL(cfg)
+        mean, logvar = model.apply({"params": params}, jnp.asarray(imgs),
+                                   method=model.encode_moments)
+        got = np.concatenate([np.asarray(mean), np.asarray(logvar)], axis=1)
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+    def test_decoder_parity(self):
+        cfg, mirror, params = self._pair()
+        z = np.random.default_rng(1).normal(
+            0, 1, (2, cfg.latent_channels, 4, 4)).astype(np.float32)
+        want = mirror.decode(torch.tensor(z)).numpy()
+        model = AutoencoderKL(cfg)
+        got = np.asarray(model.apply({"params": params}, jnp.asarray(z),
+                                     method=model.decode))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
