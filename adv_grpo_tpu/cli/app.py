@@ -43,7 +43,9 @@ def main(argv=None):
     encode = build_text_encoder(config, pipeline)
     params = pipeline.transformer_params
     if args.lora:
-        lora = ckpt_lib.load_lora_only(args.lora)
+        lora = ckpt_lib.load_lora_only(
+            args.lora, expect_rank=int(config.train.lora_rank),
+            expect_alpha=float(config.train.lora_alpha))
         params = {**params, "params": merge_lora_params(params["params"], lora)}
     hw = args.latent_hw or int(config.resolution) // 8
 

@@ -59,7 +59,9 @@ def main(argv=None):
     params = pipeline.transformer_params
     lora_path = args.lora or config.train.lora_path
     if lora_path:
-        lora = ckpt_lib.load_lora_only(lora_path)
+        lora = ckpt_lib.load_lora_only(
+            lora_path, expect_rank=int(config.train.lora_rank),
+            expect_alpha=float(config.train.lora_alpha))
         params = {**params, "params": merge_lora_params(params["params"], lora)}
 
     prompts = [args.prompts]

@@ -110,7 +110,19 @@ def save_lora_only(save_dir: str, global_step: int, lora_flat: dict,
     return path
 
 
-def load_lora_only(path: str) -> dict:
+def load_lora_only(path: str, expect_rank=None, expect_alpha=None) -> dict:
+    """Load an adapter-only checkpoint: our orbax layout, or a peft adapter
+    directory (adapter_config.json + adapter_model.safetensors — the format
+    the reference publishes, app.py:27-44). ``expect_rank``/``expect_alpha``
+    validate a peft adapter against the model it will be merged into."""
+    if os.path.exists(os.path.join(path, "adapter_model.safetensors")):
+        from adv_grpo_tpu.models.peft_lora import (
+            import_peft_lora, validate_against_model)
+
+        flat, cfg = import_peft_lora(path)
+        if expect_rank is not None or expect_alpha is not None:
+            validate_against_model(cfg, expect_rank, expect_alpha)
+        return flat
     ocp = _ocp()
     with ocp.PyTreeCheckpointer() as ckptr:
         return ckptr.restore(path)

@@ -610,7 +610,9 @@ class GRPOTrainer:
         keeping fresh optimizer state — the reference's ``train.lora_path``
         (train_sd3_fast_pickscore.py:506-509 loads a peft adapter into the
         transformer before training)."""
-        loaded = ckpt_lib.load_lora_only(path)
+        loaded = ckpt_lib.load_lora_only(
+            path, expect_rank=int(self.config.train.lora_rank),
+            expect_alpha=float(self.config.train.lora_alpha))
         cur = self.state.lora
         if set(loaded) != set(cur):
             missing = sorted(set(cur) - set(loaded))[:3]
