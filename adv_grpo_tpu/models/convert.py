@@ -78,6 +78,17 @@ class _Taken:
     def unused(self):
         return sorted(set(self.sd) - self.used)
 
+    def assert_consumed(self, what: str = "convert"):
+        """Policy-path converters must account for EVERY checkpoint weight —
+        silently dropping keys is how wrong-convention bugs (e.g. the
+        pos-embed table) slip through."""
+        left = self.unused()
+        if left:
+            raise ValueError(
+                f"{what}: {len(left)} checkpoint weights were not consumed, "
+                f"e.g. {left[:5]} — refusing to convert (weights would be "
+                "silently dropped)")
+
 
 # ───────────────────────────── CLIP text ─────────────────────────────
 
@@ -396,6 +407,7 @@ def convert_mmdit(sd: Dict[str, np.ndarray], cfg) -> Dict:
                 a2["norm_k"] = {"weight": g(b + "attn2.norm_k.weight")}
             blk["attn2"] = a2
         params[f"block_{i}"] = blk
+    g.assert_consumed("convert_mmdit")
     return params
 
 
@@ -468,6 +480,7 @@ def convert_vae(sd: Dict[str, np.ndarray], cfg) -> Dict:
             dec[f"up_{i}_upsample"] = {
                 "kernel": _conv(g(f"decoder.up_blocks.{i}.upsamplers.0.conv.weight")),
                 "bias": g(f"decoder.up_blocks.{i}.upsamplers.0.conv.bias")}
+    g.assert_consumed("convert_vae")
     return {"encoder": enc, "decoder": dec}
 
 
@@ -665,6 +678,7 @@ def convert_wan(sd: Dict[str, np.ndarray], cfg) -> Dict:
             blk["norm2_weight"] = g(b + "norm2.weight")
             blk["norm2_bias"] = g(b + "norm2.bias")
         p[f"block_{i}"] = blk
+    g.assert_consumed("convert_wan")
     return p
 
 
@@ -871,6 +885,7 @@ def convert_flux(sd: Dict[str, np.ndarray], cfg) -> Dict:
             "proj_mlp": dense(b + "proj_mlp"),
             "proj_out": dense(b + "proj_out"),
         }
+    g.assert_consumed("convert_flux")
     return p
 
 

@@ -238,12 +238,17 @@ class FluxTransformer(nn.Module):
             return nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
                             name=f"{name}_2")(nn.silu(h))
 
-        # Flux scales the timestep by 1/1000 before embedding
-        temb = mlp_embed(sincos_timestep_embedding(timestep / 1000.0, 256),
+        # timestep arrives on the 0..1000 (sigma*1000) scale and is embedded
+        # as-is: the diffusers pipeline passes sigma and
+        # FluxTransformer2DModel multiplies by 1000 before the sinusoid, so
+        # the sinusoid input IS sigma*1000 (flux_pipeline_with_logprob.py:153
+        # + diffusers transformer_flux forward). Guidance likewise embeds
+        # guidance_scale*1000 (3.5 -> 3500).
+        temb = mlp_embed(sincos_timestep_embedding(timestep, 256),
                          "time_embed")
         if c.guidance_embeds:
             g = guidance if guidance is not None else jnp.ones_like(timestep) * 3.5
-            temb = temb + mlp_embed(sincos_timestep_embedding(g, 256),
+            temb = temb + mlp_embed(sincos_timestep_embedding(g * 1000.0, 256),
                                     "guidance_embed")
         temb = temb + mlp_embed(pooled, "pooled_embed")
 

@@ -90,12 +90,14 @@ class WanBlock(nn.Module):
                                    name=n)
 
         # self-attention with 3D RoPE (transpose-free BSHD layout: pad fuses
-        # into one zero-tail concat per tensor)
+        # into one zero-tail concat per tensor). WAN's qk-norm is
+        # rms_norm_ACROSS_heads (diffusers WanTransformer3DModel: RMSNorm over
+        # the full H*d inner dim, weight (H*d,)) — num_heads=1 expresses that
+        # through the same fused kernel
+        rms = lambda n: HeadRMSNorm(dim, num_heads=1, dtype=c.dtype, name=n)
         h = _layer_norm(x, c.dtype) * (1 + scale_sa[:, None]) + shift_sa[:, None]
-        q = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_q")(
-            dense("to_q")(h))
-        k = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_k")(
-            dense("to_k")(h))
+        q = rms("norm_q")(dense("to_q")(h))
+        k = rms("norm_k")(dense("to_k")(h))
         v = dense("to_v")(h)
         pad = (-S) % 128
         if pad:
@@ -120,10 +122,8 @@ class WanBlock(nn.Module):
                              jnp.float32)
             hq = hq * n2w.astype(c.dtype) + n2b.astype(c.dtype)
         St = text.shape[1]
-        q = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="cross_norm_q")(
-            dense("cross_to_q")(hq))
-        k = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="cross_norm_k")(
-            dense("cross_to_k")(text))
+        q = rms("cross_norm_q")(dense("cross_to_q")(hq))
+        k = rms("cross_norm_k")(dense("cross_to_k")(text))
         v = dense("cross_to_v")(text)
         padq = (-S) % 128
         padk = (-St) % 128

@@ -334,8 +334,9 @@ class TestWanConverter:
                     sd[b + f"{a}.{nm}.bias"] = w(dim)
                 sd[b + f"{a}.to_out.0.weight"] = w(dim, dim)
                 sd[b + f"{a}.to_out.0.bias"] = w(dim)
-                sd[b + f"{a}.norm_q.weight"] = w(d)
-                sd[b + f"{a}.norm_k.weight"] = w(d)
+                # WAN qk-norm is rms_norm_across_heads: weight spans H*d
+                sd[b + f"{a}.norm_q.weight"] = w(dim)
+                sd[b + f"{a}.norm_k.weight"] = w(dim)
             sd[b + "norm2.weight"] = w(dim)
             sd[b + "norm2.bias"] = w(dim)
             sd[b + "ffn.net.0.proj.weight"] = w(cfg.ffn_dim, dim)
