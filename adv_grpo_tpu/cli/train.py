@@ -21,7 +21,22 @@ def maybe_init_distributed():
     if os.environ.get("JAX_PROCESS_COUNT") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         import jax
 
-        jax.distributed.initialize()
+        # jax only env-reads the coordinator address; process count/id come
+        # from cluster auto-detect (SLURM etc.), so support explicit env for
+        # plain multi-host launches (and the 2-process CPU test)
+        kw = {}
+        n = (os.environ.get("JAX_PROCESS_COUNT")
+             or os.environ.get("JAX_NUM_PROCESSES"))
+        if n:
+            kw["num_processes"] = int(n)
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if pid is not None:
+            kw["process_id"] = int(pid)
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return  # idempotent: already initialized by the harness
+        jax.distributed.initialize(**kw)
 
 
 def build_trainer(config, latent_hw=None, dataset=None):

@@ -1,0 +1,94 @@
+"""REAL 2-process multi-host test (VERDICT r2 #5): two CPU processes under
+``jax.distributed.initialize`` (localhost coordinator) run collectives, a full
+smoke trainer epoch, the save-dir broadcast, and the distributed eval CLI —
+every ``process_count > 1`` branch un-mocked."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def multihost_run(tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("mh"))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_COORDINATOR_ADDRESS",
+                        "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs, outs = [], []
+    for pid in range(2):
+        out = os.path.join(workdir, f"result_{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, "--pid", str(pid), "--nprocs", "2",
+             "--port", str(port), "--out", out, "--workdir", workdir],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    results = []
+    for pid, out in enumerate(outs):
+        assert os.path.exists(out), (
+            f"worker {pid} produced no result\n--- log ---\n{logs[pid][-4000:]}")
+        with open(out) as f:
+            results.append(json.load(f))
+    for pid, r in enumerate(results):
+        assert r.get("ok"), (
+            f"worker {pid} failed: {r.get('error')}\n--- log ---\n"
+            f"{logs[pid][-4000:]}")
+    return workdir, results
+
+
+def test_collectives_and_put_batch(multihost_run):
+    _, results = multihost_run
+    for r in results:
+        assert r["collectives"] and r["put_batch"]
+
+
+def test_save_dir_broadcast_agrees(multihost_run):
+    """save_dir='' triggers the timestamp broadcast; both processes must have
+    agreed on ONE run directory (cli/train.py save-dir broadcast)."""
+    workdir, results = multihost_run
+    runs0, runs1 = results[0]["train_runs"], results[1]["train_runs"]
+    assert runs0 == runs1
+    assert len(runs0) == 1 and runs0[0].startswith("mh_")
+
+
+def test_eval_shards_and_merge(multihost_run):
+    """6 prompts over 2 processes: 3 saved per rank, disjoint global indices,
+    merged prompt2img has all 6 with no duplicates."""
+    workdir, results = multihost_run
+    assert [r["eval_n_saved"] for r in results] == [3, 3]
+    for r in results:
+        for k, c in r["eval_counts"].items():
+            assert c == 6, (k, c)  # (sum, count) allgather -> global count
+    out_dir = os.path.join(workdir, "eval")
+    with open(os.path.join(out_dir, "prompt2img.json")) as f:
+        merged = json.load(f)
+    files = [f_ for v in merged.values() for f_ in v]
+    assert len(files) == len(set(files)) == 6
+    ranks = {f_.split("_")[1] for f_ in files}
+    assert ranks == {"rank0", "rank1"}
+    idxs = sorted(int(f_.split("_")[2]) for f_ in files)
+    assert idxs == list(range(6))
