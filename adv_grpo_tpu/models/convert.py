@@ -905,3 +905,63 @@ def cast_tree_bf16(tree, keep_f32=("lora_",)):
         else:
             out[k] = v
     return traverse_util.unflatten_dict(out)
+
+
+# ─────────────────────────── Flux / WAN loaders ───────────────────────────
+
+
+def load_flux_transformer(model_dir: str, *, dtype=None, remat=True,
+                          attention_backend=None):
+    """(FluxConfig, params) from a local diffusers FluxTransformer2DModel
+    directory (config.json + safetensors). The reference obtains this model
+    via FluxPipeline.from_pretrained (flux_pipeline_with_logprob.py)."""
+    import jax.numpy as jnp
+
+    from adv_grpo_tpu.models.flux import FluxConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        tc = json.load(f)
+    cfg = FluxConfig(
+        in_channels=tc.get("in_channels", 64),
+        num_double_layers=tc.get("num_layers", 19),
+        num_single_layers=tc.get("num_single_layers", 38),
+        attention_head_dim=tc.get("attention_head_dim", 128),
+        num_attention_heads=tc.get("num_attention_heads", 24),
+        joint_attention_dim=tc.get("joint_attention_dim", 4096),
+        pooled_projection_dim=tc.get("pooled_projection_dim", 768),
+        guidance_embeds=tc.get("guidance_embeds", True),
+        rope_axes_dims=tuple(tc.get("axes_dims_rope", (16, 56, 56))),
+        dtype=dtype or jnp.bfloat16, remat=remat,
+        attention_backend=attention_backend)
+    params = convert_flux(load_torch_state_dict(model_dir), cfg)
+    return cfg, cast_tree_bf16(params) if cfg.dtype == jnp.bfloat16 else params
+
+
+def load_wan_transformer(model_dir: str, *, dtype=None, remat=True,
+                         attention_backend=None):
+    """(WanConfig, params) from a local diffusers WanTransformer3DModel
+    directory (wan_pipeline_with_logprob.py loads it via WanPipeline)."""
+    import jax.numpy as jnp
+
+    from adv_grpo_tpu.models.wan import WanConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        tc = json.load(f)
+    d = tc.get("attention_head_dim", 128)
+    # diffusers WanRotaryPosEmbed axis split: h = w = d//3 (even), t = rest
+    hw = 2 * ((d // 3) // 2)
+    cfg = WanConfig(
+        in_channels=tc.get("in_channels", 16),
+        out_channels=tc.get("out_channels", 16),
+        patch_size=tuple(tc.get("patch_size", (1, 2, 2))),
+        num_layers=tc.get("num_layers", 30),
+        attention_head_dim=d,
+        num_attention_heads=tc.get("num_attention_heads", 12),
+        text_dim=tc.get("text_dim", 4096),
+        ffn_dim=tc.get("ffn_dim", 8960),
+        rope_axes_dims=(d - 2 * hw, hw, hw),
+        cross_attn_norm=tc.get("cross_attn_norm", True),
+        dtype=dtype or jnp.bfloat16, remat=remat,
+        attention_backend=attention_backend)
+    params = convert_wan(load_torch_state_dict(model_dir), cfg)
+    return cfg, cast_tree_bf16(params) if cfg.dtype == jnp.bfloat16 else params

@@ -375,6 +375,10 @@ class GRPOTrainer:
                 self.state, info = self.train_epoch_fn(
                     self.state, self.frozen, sharded, negs["e"], negs["p"])
                 infos.append(jax.tree_util.tree_map(np.asarray, info))
+        # per-inner-epoch losses kept for observability/tests: with frozen
+        # params the permuted replay must reproduce the same epoch-mean loss
+        # (rows travel with their advantages/log-probs)
+        self.last_inner_losses = [float(i["loss"]) for i in infos]
         return {k: float(np.mean([i[k] for i in infos])) for k in infos[0]}
 
     def d_phase(self, samples):

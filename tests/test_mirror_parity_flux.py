@@ -5,6 +5,8 @@ Timestep convention: both sides take the 0..1000 (sigma*1000) scale — the
 diffusers pipeline passes sigma and FluxTransformer2DModel multiplies by 1000
 before the sinusoid (flux_pipeline_with_logprob.py:153)."""
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -78,3 +80,42 @@ def test_all_weights_consumed(flux_pair):
     sd["garbage.weight"] = np.zeros((3, 3), np.float32)
     with pytest.raises(Exception):
         convert.convert_flux(sd, cfg)
+
+
+def test_load_flux_transformer_dir(tmp_path, flux_pair):
+    """load_flux_transformer reads a diffusers-layout dir (config.json +
+    safetensors) and reproduces the mirror forward."""
+    from safetensors.numpy import save_file
+
+    import jax.numpy as jnp
+
+    cfg, mirror, _ = flux_pair
+    d = str(tmp_path / "flux")
+    os.makedirs(d)
+    sd = to_numpy_sd(mirror)
+    save_file(sd, os.path.join(d, "model.safetensors"))
+    import json
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({
+            "in_channels": cfg.in_channels, "num_layers": cfg.num_double_layers,
+            "num_single_layers": cfg.num_single_layers,
+            "attention_head_dim": cfg.attention_head_dim,
+            "num_attention_heads": cfg.num_attention_heads,
+            "joint_attention_dim": cfg.joint_attention_dim,
+            "pooled_projection_dim": cfg.pooled_projection_dim,
+            "guidance_embeds": cfg.guidance_embeds,
+            "axes_dims_rope": list(cfg.rope_axes_dims),
+        }, f)
+    from adv_grpo_tpu.models.convert import load_flux_transformer
+
+    lcfg, params = load_flux_transformer(d, dtype=jnp.float32, remat=False)
+    assert lcfg.num_double_layers == cfg.num_double_layers
+    lat, t, ctx, pooled, img_ids, txt_ids = _inputs(cfg)
+    with torch.no_grad():
+        want = mirror(torch.tensor(lat), torch.tensor(t), torch.tensor(ctx),
+                      torch.tensor(pooled), torch.tensor(img_ids),
+                      torch.tensor(txt_ids), None).numpy()
+    got = np.asarray(FluxTransformer(lcfg).apply(
+        {"params": params}, jnp.asarray(lat), jnp.asarray(t), jnp.asarray(ctx),
+        jnp.asarray(pooled), img_ids, txt_ids))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)

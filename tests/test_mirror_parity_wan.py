@@ -62,3 +62,39 @@ def test_all_weights_consumed(wan_pair):
     sd["garbage.weight"] = np.zeros((2, 2), np.float32)
     with pytest.raises(ValueError, match="not consumed"):
         convert.convert_wan(sd, cfg)
+
+
+def test_load_wan_transformer_dir(tmp_path, wan_pair):
+    """load_wan_transformer reads a diffusers-layout dir and reproduces the
+    mirror forward (incl. the rope axis split off attention_head_dim)."""
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+
+    cfg, mirror, _ = wan_pair
+    d = str(tmp_path / "wan")
+    os.makedirs(d)
+    save_file(to_numpy_sd(mirror), os.path.join(d, "model.safetensors"))
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({
+            "in_channels": cfg.in_channels, "out_channels": cfg.out_channels,
+            "patch_size": list(cfg.patch_size), "num_layers": cfg.num_layers,
+            "attention_head_dim": cfg.attention_head_dim,
+            "num_attention_heads": cfg.num_attention_heads,
+            "text_dim": cfg.text_dim, "ffn_dim": cfg.ffn_dim,
+            "cross_attn_norm": cfg.cross_attn_norm,
+        }, f)
+    from adv_grpo_tpu.models.convert import load_wan_transformer
+
+    lcfg, params = load_wan_transformer(d, dtype=jnp.float32, remat=False)
+    # tiny head dim 16 -> h = w = 2*((16//3)//2) = 4, t = 8 (matches tiny cfg)
+    assert lcfg.rope_axes_dims == cfg.rope_axes_dims
+    lat, t, txt = _inputs(cfg)
+    with torch.no_grad():
+        want = mirror(torch.tensor(lat), torch.tensor(t),
+                      torch.tensor(txt)).numpy()
+    got = np.asarray(WanTransformer(lcfg).apply(
+        {"params": params}, jnp.asarray(lat), jnp.asarray(t),
+        jnp.asarray(txt)))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
