@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from adv_grpo_tpu.models.mmdit import (
-    AdaLNModulation, HeadRMSNorm, _layer_norm, sincos_timestep_embedding,
+    AdaLNModulation, HeadRMSNorm, _layer_norm, _mod_ln,
+    sincos_timestep_embedding,
 )
 from adv_grpo_tpu.ops.attention import mha_bshd
 
@@ -157,14 +158,14 @@ class FluxDoubleBlock(nn.Module):
         dim = c.hidden_dim
         im = AdaLNModulation(dim, 6, dtype=c.dtype, name="norm1")(temb)
         tm = AdaLNModulation(dim, 6, dtype=c.dtype, name="norm1_context")(temb)
-        img_mod = _layer_norm(img, c.dtype) * (1 + im[1][:, None]) + im[0][:, None]
-        txt_mod = _layer_norm(txt, c.dtype) * (1 + tm[1][:, None]) + tm[0][:, None]
+        img_mod = _mod_ln(img, im[1], im[0], c.dtype)
+        txt_mod = _mod_ln(txt, tm[1], tm[0], c.dtype)
         img_att, txt_att = FluxAttention(c, name="attn")(img_mod, txt_mod, cos, sin)
         img = img + im[2][:, None] * img_att
         txt = txt + tm[2][:, None] * txt_att
 
         def ff(x, mods, name):
-            h = _layer_norm(x, c.dtype) * (1 + mods[4][:, None]) + mods[3][:, None]
+            h = _mod_ln(x, mods[4], mods[3], c.dtype)
             h = nn.Dense(dim * 4, dtype=c.dtype, param_dtype=jnp.float32,
                          name=f"{name}_fc1")(h)
             h = nn.gelu(h, approximate=True)
@@ -187,7 +188,7 @@ class FluxSingleBlock(nn.Module):
         dim = c.hidden_dim
         B, S, _ = x.shape
         shift, scale, gate = AdaLNModulation(dim, 3, dtype=c.dtype, name="norm")(temb)
-        h = _layer_norm(x, c.dtype) * (1 + scale[:, None]) + shift[:, None]
+        h = _mod_ln(x, scale, shift, c.dtype)
 
         q = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_q")(h)
         k = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_k")(h)
@@ -267,6 +268,6 @@ class FluxTransformer(nn.Module):
         img = x[:, txt.shape[1]:]
 
         oscale, oshift = AdaLNModulation(dim, 2, dtype=c.dtype, name="norm_out")(temb)
-        img = _layer_norm(img, c.dtype) * (1 + oscale[:, None]) + oshift[:, None]
+        img = _mod_ln(img, oscale, oshift, c.dtype)
         return nn.Dense(c.in_channels, dtype=c.dtype, param_dtype=jnp.float32,
                         name="proj_out_final")(img)

@@ -40,7 +40,8 @@ import numpy as np
 
 from adv_grpo_tpu.models.lora import LoRADense
 from adv_grpo_tpu.ops.attention import mha_bshd
-from adv_grpo_tpu.ops.fused_norms import layer_norm, rms_norm_heads
+from adv_grpo_tpu.ops.fused_norms import (
+    layer_norm, modulated_layer_norm, rms_norm_heads)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,6 +177,14 @@ def _layer_norm(x, dtype):
     the one-VMEM-pass kernel runs at bandwidth (ops/fused_norms.py).
     """
     return layer_norm(x, out_dtype=dtype)
+
+
+def _mod_ln(x, scale, shift, dtype):
+    """AdaLN-modulated LayerNorm ``ln(x)*(1+scale)+shift`` in ONE fused pass
+    (ops/fused_norms.modulated_layer_norm) — the separate elementwise
+    modulation after an opaque Pallas LN cost a full extra HBM round-trip of
+    the (B, S, D) activation per call (~4 calls per block)."""
+    return modulated_layer_norm(x, scale, shift, out_dtype=dtype)
 
 
 class HeadRMSNorm(nn.Module):
@@ -326,18 +335,18 @@ class JointBlock(nn.Module):
         n_x = 9 if self.dual_attention else 6
         mods = AdaLNModulation(dim, n_x, dtype=c.dtype, name="norm1")(temb)
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods[:6]
-        x_ln = _layer_norm(x, c.dtype)
-        x_mod = x_ln * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        x_pre = x  # dual attention modulates the PRE-attention norm input
+        x_mod = _mod_ln(x, scale_msa, shift_msa, c.dtype)
 
         if self.context_pre_only:
             # AdaLayerNormContinuous on the context: chunk order [scale, shift]
             cscale, cshift = AdaLNModulation(dim, 2, dtype=c.dtype,
                                              name="norm1_context")(temb)
-            ctx_mod = _layer_norm(ctx, c.dtype) * (1 + cscale[:, None]) + cshift[:, None]
+            ctx_mod = _mod_ln(ctx, cscale, cshift, c.dtype)
         else:
             cmods = AdaLNModulation(dim, 6, dtype=c.dtype, name="norm1_context")(temb)
             c_shift_msa, c_scale_msa, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = cmods
-            ctx_mod = _layer_norm(ctx, c.dtype) * (1 + c_scale_msa[:, None]) + c_shift_msa[:, None]
+            ctx_mod = _mod_ln(ctx, c_scale_msa, c_shift_msa, c.dtype)
 
         # the save_attn remat policy keys on "attn_out" names attached to the
         # flash kernel's o/lse INSIDE _flash_mha_bshd_fwd (ops/attention.py)
@@ -349,17 +358,20 @@ class JointBlock(nn.Module):
         x = x + gate_msa[:, None] * attn_out
 
         if self.dual_attention:
+            # NOTE: the pre-attention x is re-normalised (2 fused passes)
+            # rather than reusing one LN output + 2 elementwise passes (3) —
+            # one fewer (B, S, D) HBM round-trip
             shift_msa2, scale_msa2, gate_msa2 = mods[6:]
-            x_mod2 = x_ln * (1 + scale_msa2[:, None]) + shift_msa2[:, None]
+            x_mod2 = _mod_ln(x_pre, scale_msa2, shift_msa2, c.dtype)
             x = x + gate_msa2[:, None] * DualSelfAttention(c, name="attn2")(x_mod2)
 
-        h = _layer_norm(x, c.dtype) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+        h = _mod_ln(x, scale_mlp, shift_mlp, c.dtype)
         x = x + gate_mlp[:, None] * FeedForward(dim, dtype=c.dtype, name="ff")(h)
 
         if self.context_pre_only:
             return x, None
         ctx = ctx + c_gate_msa[:, None] * ctx_attn_out
-        hc = _layer_norm(ctx, c.dtype) * (1 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
+        hc = _mod_ln(ctx, c_scale_mlp, c_shift_mlp, c.dtype)
         ctx = ctx + c_gate_mlp[:, None] * FeedForward(dim, dtype=c.dtype,
                                                       name="ff_context")(hc)
         return x, ctx
@@ -432,7 +444,7 @@ class MMDiT(nn.Module):
 
         # output head: AdaLayerNormContinuous (chunk order [scale, shift])
         oscale, oshift = AdaLNModulation(dim, 2, dtype=c.dtype, name="norm_out")(temb)
-        x = _layer_norm(x, c.dtype) * (1 + oscale[:, None]) + oshift[:, None]
+        x = _mod_ln(x, oscale, oshift, c.dtype)
         x = nn.Dense(p * p * c.out_channels, dtype=c.dtype, param_dtype=jnp.float32,
                      name="proj_out")(x)
 

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from adv_grpo_tpu.models.mmdit import HeadRMSNorm, _layer_norm, sincos_timestep_embedding
+from adv_grpo_tpu.models.mmdit import (
+    HeadRMSNorm, _layer_norm, _mod_ln, sincos_timestep_embedding)
 from adv_grpo_tpu.models.flux import apply_rope_bshd, rope_freqs
 from adv_grpo_tpu.ops.attention import mha_bshd
 
@@ -95,7 +96,7 @@ class WanBlock(nn.Module):
         # the full H*d inner dim, weight (H*d,)) — num_heads=1 expresses that
         # through the same fused kernel
         rms = lambda n: HeadRMSNorm(dim, num_heads=1, dtype=c.dtype, name=n)
-        h = _layer_norm(x, c.dtype) * (1 + scale_sa[:, None]) + shift_sa[:, None]
+        h = _mod_ln(x, scale_sa, shift_sa, c.dtype)
         q = rms("norm_q")(dense("to_q")(h))
         k = rms("norm_k")(dense("to_k")(h))
         v = dense("to_v")(h)
@@ -139,7 +140,7 @@ class WanBlock(nn.Module):
         x = x + dense("cross_to_out")(catt[:, :S])
 
         # FFN
-        h = _layer_norm(x, c.dtype) * (1 + scale_ff[:, None]) + shift_ff[:, None]
+        h = _mod_ln(x, scale_ff, shift_ff, c.dtype)
         h = nn.Dense(c.ffn_dim, dtype=c.dtype, param_dtype=jnp.float32,
                      name="ffn_fc1")(h)
         h = nn.gelu(h, approximate=True)
@@ -197,7 +198,7 @@ class WanTransformer(nn.Module):
                            (2, dim), jnp.float32)
         shift = table[0][None].astype(c.dtype) + t_emb
         scale = table[1][None].astype(c.dtype) + t_emb
-        x = _layer_norm(x, c.dtype) * (1 + scale[:, None]) + shift[:, None]
+        x = _mod_ln(x, scale, shift, c.dtype)
         x = nn.Dense(pt * ph * pw * c.out_channels, dtype=c.dtype,
                      param_dtype=jnp.float32, name="proj_out")(x)
         x = x.reshape(B, f, gh, gw, pt, ph, pw, c.out_channels)

@@ -161,3 +161,51 @@ class TestFusedNorms:
         ref = rms_norm_heads(x, w, num_heads=2, backend="reference")
         pal = rms_norm_heads(x, w, num_heads=2, backend="pallas_interpret")
         np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
+
+
+class TestModulatedLayerNorm:
+    def test_parity_and_grads(self):
+        """Fused ln(x)*(1+scale)+shift vs the reference composition, incl.
+        grads through x, scale, AND shift (custom VJP closed forms)."""
+        from adv_grpo_tpu.ops.fused_norms import modulated_layer_norm
+
+        k = jax.random.PRNGKey(3)
+        x = jax.random.normal(k, (2, 256, 128), jnp.float32)
+        sc = 0.3 * jax.random.normal(jax.random.fold_in(k, 1), (2, 128))
+        sh = 0.3 * jax.random.normal(jax.random.fold_in(k, 2), (2, 128))
+        ref = modulated_layer_norm(x, sc, sh, backend="reference")
+        pal = modulated_layer_norm(x, sc, sh, backend="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
+
+        def loss(f):
+            return lambda x, sc, sh: jnp.sum(
+                jnp.sin(modulated_layer_norm(x, sc, sh, backend=f)) ** 2)
+
+        gr = jax.grad(loss("reference"), argnums=(0, 1, 2))(x, sc, sh)
+        gp = jax.grad(loss("pallas_interpret"), argnums=(0, 1, 2))(x, sc, sh)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+    def test_matches_unfused_model_math(self):
+        """The exact expression the models previously computed:
+        _layer_norm(x) * (1 + scale[:, None]) + shift[:, None]."""
+        from adv_grpo_tpu.ops.fused_norms import layer_norm, modulated_layer_norm
+
+        k = jax.random.PRNGKey(5)
+        x = jax.random.normal(k, (3, 77, 96), jnp.float32)
+        sc = jax.random.normal(jax.random.fold_in(k, 1), (3, 96))
+        sh = jax.random.normal(jax.random.fold_in(k, 2), (3, 96))
+        unfused = layer_norm(x, backend="reference") * (1 + sc[:, None]) + sh[:, None]
+        fused = modulated_layer_norm(x, sc, sh, backend="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                                   atol=2e-5)
+
+    def test_non_128_dim_falls_back_compiled(self):
+        from adv_grpo_tpu.ops.fused_norms import modulated_layer_norm
+
+        x = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 100))
+        sc = jnp.zeros((1, 100))
+        sh = jnp.ones((1, 100))
+        out = modulated_layer_norm(x, sc, sh, backend="pallas")  # d%128 -> XLA
+        ref = modulated_layer_norm(x, sc, sh, backend="reference")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
