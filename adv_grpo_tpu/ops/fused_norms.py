@@ -214,8 +214,8 @@ def rms_norm_heads(x, w, *, num_heads: int, eps: float = 1e-6, out_dtype=None,
 
 def _lnmod_kernel(x_ref, sc_ref, sh_ref, y_ref, *, eps):
     x = x_ref[0].astype(jnp.float32)  # (bs, D)
-    sc = sc_ref[...].astype(jnp.float32)  # (1, D) — this batch row's scale
-    sh = sh_ref[...].astype(jnp.float32)
+    sc = sc_ref[0].astype(jnp.float32)  # (1, D) — this batch row's scale
+    sh = sh_ref[0].astype(jnp.float32)
     mean = jnp.mean(x, axis=1, keepdims=True)
     xc = x - mean
     var = jnp.mean(xc * xc, axis=1, keepdims=True)
@@ -236,22 +236,25 @@ def _ln_mod_p(x, scale, shift, eps, out_dtype, interpret):
     bs = _pick_rows(s, d * 4)
     if not bs or (d % 128 and not interpret):
         return _lnmod_reference(x, scale, shift, eps, out_dtype)
+    # (B, 1, D) layout: Mosaic requires the sublane (second-to-last) block dim
+    # to be 8-divisible OR equal to the array dim — a (1, D) block over (B, D)
+    # violates that; (1, 1, D) over (B, 1, D) satisfies it exactly
     return pl.pallas_call(
         functools.partial(_lnmod_kernel, eps=eps),
         grid=(b, s // bs),
         in_specs=[
             pl.BlockSpec((1, bs, d), lambda b_, si: (b_, si, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda b_, si: (b_, 0),
+            pl.BlockSpec((1, 1, d), lambda b_, si: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda b_, si: (b_, 0),
+            pl.BlockSpec((1, 1, d), lambda b_, si: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bs, d), lambda b_, si: (b_, si, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, d), out_dtype),
         interpret=interpret,
-    )(x, scale, shift)
+    )(x, scale[:, None, :], shift[:, None, :])
 
 
 def _ln_mod_p_fwd(x, scale, shift, eps, out_dtype, interpret):
