@@ -137,11 +137,17 @@ def main():
     def reward_once(x):
         return float(reward_k(ps_params, x, ids))
 
+    # the first graph of a fresh session can see minutes of residual remote-
+    # compile/queue latency on the tunnel: warm twice and take the MEDIAN of
+    # 3 reps (a cold first rep once measured 11 evals/s vs 247 steady-state)
     reward_once(imgs)
-    t0 = time.perf_counter()
-    for rep in range(2):
+    reward_once(imgs + 0.005)
+    rtimes = []
+    for rep in range(3):
+        t0 = time.perf_counter()
         reward_once(imgs + 0.01 * (rep + 1))
-    dt_reward = (time.perf_counter() - t0) / (2 * K_RWD)
+        rtimes.append(time.perf_counter() - t0)
+    dt_reward = sorted(rtimes)[1] / K_RWD
     reward_evals_per_sec = batch / dt_reward
     # free the scorer's device buffers before the 2.2B policy materialises;
     # the scorer is RE-materialised after the policy for the resident
@@ -246,11 +252,13 @@ def main():
     # bf16 4.4GB + VAE fits a 16GB v5e).
     ps_params_r = ps_materialise()
     imgs_r = jnp.full((batch, 3, imgs_hw, imgs_hw), 0.1, jnp.float32)
-    reward_k(ps_params_r, imgs_r, ids)  # re-warm against the new heap
-    t0 = time.perf_counter()
-    for rep in range(2):
+    float(reward_k(ps_params_r, imgs_r, ids))  # re-warm against the new heap
+    rtimes = []
+    for rep in range(3):
+        t0 = time.perf_counter()
         float(reward_k(ps_params_r, imgs_r + 0.01 * (rep + 1), ids))
-    dt_reward_res = (time.perf_counter() - t0) / (2 * K_RWD)
+        rtimes.append(time.perf_counter() - t0)
+    dt_reward_res = sorted(rtimes)[1] / K_RWD
     reward_evals_per_sec_resident = batch / dt_reward_res
 
     # ── interleaved rollout+reward epoch: rollout -> decode -> PickScore in
