@@ -107,11 +107,13 @@ def build_pipeline(config, latent_hw: Optional[int] = None):
     if model_dir and not smoke:
         raise FileNotFoundError(
             f"config.pretrained.model={model_dir!r} (revision "
-            f"{str(config.pretrained.revision)!r}) is not a local converted "
-            f"weights directory. Convert the HF checkpoint first "
-            f"(python -m adv_grpo_tpu.models.convert --src <hf_dir> --dst "
-            f"<local_dir>), or set smoke_test=True / pretrained.model='' for "
-            f"an explicitly random-init smoke/bench run.")
+            f"{str(config.pretrained.revision)!r}) is not a local "
+            f"diffusers-layout weights directory (transformer/ vae/ "
+            f"text_encoder*/ with safetensors — conversion happens at load "
+            f"time). Validate a candidate directory with "
+            f"`python -m adv_grpo_tpu.models.convert --src <dir>`, or set "
+            f"smoke_test=True / pretrained.model='' for an explicitly "
+            f"random-init smoke/bench run.")
     tpu_kw = dict(remat=bool(config.tpu.remat),
                   remat_policy=str(config.tpu.get("remat_policy", "save_attn")),
                   attention_backend=config.tpu.attention_backend)

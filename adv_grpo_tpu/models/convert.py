@@ -965,3 +965,96 @@ def load_wan_transformer(model_dir: str, *, dtype=None, remat=True,
         attention_backend=attention_backend)
     params = convert_wan(load_torch_state_dict(model_dir), cfg)
     return cfg, cast_tree_bf16(params) if cfg.dtype == jnp.bfloat16 else params
+
+
+# ───────────────────────────── preflight CLI ─────────────────────────────
+
+
+def preflight(model_dir: str, check_text_encoders: bool = True) -> dict:
+    """Dry-run every converter against a local diffusers-layout SD3 directory
+    WITHOUT materialising device arrays: reports param counts, the detected
+    pos-embed convention, and fails loudly on missing/unconsumed checkpoint
+    keys — run this before pointing config.pretrained.model at a directory.
+    """
+    import jax
+
+    count = lambda tree: int(sum(
+        np.asarray(v).size for v in jax.tree_util.tree_leaves(tree)))
+    report: dict = {"model_dir": os.path.abspath(model_dir)}
+
+    with open(os.path.join(model_dir, "transformer", "config.json")) as f:
+        tc = json.load(f)
+    t_sd = load_torch_state_dict(os.path.join(model_dir, "transformer"))
+    from adv_grpo_tpu.models.mmdit import MMDiTConfig
+
+    mmdit_cfg = MMDiTConfig(
+        patch_size=tc["patch_size"], in_channels=tc["in_channels"],
+        out_channels=tc.get("out_channels") or tc["in_channels"],
+        num_layers=tc["num_layers"], attention_head_dim=tc["attention_head_dim"],
+        num_attention_heads=tc["num_attention_heads"],
+        joint_attention_dim=tc["joint_attention_dim"],
+        pooled_projection_dim=tc["pooled_projection_dim"],
+        pos_embed_max_size=tc.get("pos_embed_max_size", 384),
+        qk_norm=tc.get("qk_norm") is not None,
+        dual_attention_layers=tuple(tc.get("dual_attention_layers", ())))
+    base = detect_pos_embed_base(t_sd, mmdit_cfg.hidden_dim,
+                                 mmdit_cfg.pos_embed_max_size,
+                                 tc.get("sample_size", 128), tc["patch_size"])
+    p = convert_mmdit(t_sd, mmdit_cfg)
+    report["transformer"] = {
+        "layers": mmdit_cfg.num_layers, "params": count(p),
+        "pos_embed_base_size": base,
+        "dual_attention_layers": list(mmdit_cfg.dual_attention_layers)}
+
+    with open(os.path.join(model_dir, "vae", "config.json")) as f:
+        vc = json.load(f)
+    from adv_grpo_tpu.models.vae import VAEConfig
+
+    vae_cfg = VAEConfig(
+        latent_channels=vc["latent_channels"],
+        block_out_channels=tuple(vc["block_out_channels"]),
+        layers_per_block=vc["layers_per_block"],
+        scaling_factor=vc["scaling_factor"],
+        shift_factor=vc.get("shift_factor", 0.0))
+    vp = convert_vae(load_torch_state_dict(os.path.join(model_dir, "vae")),
+                     vae_cfg)
+    report["vae"] = {"params": count(vp),
+                     "scaling_factor": vae_cfg.scaling_factor,
+                     "shift_factor": vae_cfg.shift_factor}
+
+    if check_text_encoders:
+        for sub, conv, kw in (
+                ("text_encoder", "clip", {}), ("text_encoder_2", "clip", {}),
+                ("text_encoder_3", "t5", {})):
+            d = os.path.join(model_dir, sub)
+            if not os.path.isdir(d):
+                report[sub] = "absent"
+                continue
+            with open(os.path.join(d, "config.json")) as f:
+                ec = json.load(f)
+            sd = load_torch_state_dict(d)
+            if conv == "clip":
+                ep = convert_clip_text(sd, ec["num_hidden_layers"])
+            else:
+                ep = convert_t5_encoder(sd, ec["num_layers"])
+            report[sub] = {"params": count(ep)}
+    return report
+
+
+def _main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Preflight-validate a local diffusers-layout SD3 "
+                    "checkpoint directory against the converters (conversion "
+                    "itself happens at load time inside load_sd3_pipeline)")
+    ap.add_argument("--src", required=True, help="diffusers-layout model dir")
+    ap.add_argument("--skip_text_encoders", action="store_true")
+    args = ap.parse_args(argv)
+    report = preflight(args.src, check_text_encoders=not args.skip_text_encoders)
+    print(json.dumps(report, indent=2))
+    print("PREFLIGHT OK — point config.pretrained.model at this directory")
+
+
+if __name__ == "__main__":
+    _main()
