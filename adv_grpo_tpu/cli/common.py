@@ -136,8 +136,19 @@ def build_pipeline(config, latent_hw: Optional[int] = None):
 
 
 def build_text_encoder(config, pipeline):
-    """Real tri-encoder stack when weights are local; otherwise a deterministic
-    hash-based embedder (same prompt -> same embedding) for smoke runs."""
+    """Text-embedding source, by priority:
+
+    1. ``config.text_embeds_dir`` — a precomputed memmap store written by
+       cli.precompute_embeds: no encoder weights in HBM at all (the v5e
+       answer to SURVEY §7.3.7's T5-XXL memory hard-part);
+    2. the real tri-encoder stack when the diffusers dir has text encoders;
+    3. a deterministic hash-based embedder for smoke runs.
+    """
+    store_dir = str(config.get("text_embeds_dir", ""))
+    if store_dir:
+        from adv_grpo_tpu.data.embed_store import EmbeddingStore
+
+        return EmbeddingStore(store_dir)
     model_dir = str(config.pretrained.model)
     if model_dir and os.path.isdir(os.path.join(model_dir, "text_encoder")):
         return load_real_text_encoder(config, pipeline)

@@ -22,6 +22,9 @@ def get_config() -> ml_collections.ConfigDict:
     config.mixed_precision = "fp16"
     config.use_lora = True
     config.dataset = ""
+    # precomputed text-embedding store dir (cli.precompute_embeds); when set,
+    # no text-encoder weights occupy HBM during training/eval
+    config.text_embeds_dir = ""
     config.resolution = 768
     config.wandb_init = False
 
