@@ -141,6 +141,9 @@ def main(argv=None):
     reward_sums, reward_counts = {}, {}
     prompt2files = {}
     n_saved = 0
+    # negative-prompt embeddings are identical for every batch — encode once
+    neg_e, neg_p = encode([""] * bs)
+    neg_e, neg_p = np.asarray(neg_e), np.asarray(neg_p)
     for b in range(num_batches):
         start = b * bs
         rows = local_prompts[start:start + bs]
@@ -149,9 +152,8 @@ def main(argv=None):
             rows, valid = [local_prompts[-1] if local_prompts else ""], 0
         chunk = _pad_rows(rows, bs)
         embeds, pooled = encode(chunk)
-        neg_e, neg_p = encode([""] * len(chunk))
         sharded = put_batch(dict(e=np.asarray(embeds), p=np.asarray(pooled),
-                                 ne=np.asarray(neg_e), np=np.asarray(neg_p)),
+                                 ne=neg_e, np=neg_p),
                             mesh)
         images = generate(params, sharded["e"], sharded["p"],
                           sharded["ne"], sharded["np"], jax.random.PRNGKey(0))
@@ -162,7 +164,11 @@ def main(argv=None):
             f"eval batch spans {len(span)}/{n_local} local devices "
             f"(global mesh {n_dev}); sharding lost")
         local_images = to_local_np(images)
-        if reward_fn is not None and valid:
+        if reward_fn is not None:
+            # score even when valid == 0 (all-padding shard): the reward-key
+            # SET must agree across processes because the final means run one
+            # collective per key — a rank that skipped scoring would execute
+            # zero allgathers while the others block (multi-host hang)
             fn, store = reward_fn
             refs = (jnp.asarray(store.get_batch(chunk)) if store is not None
                     else None)

@@ -25,7 +25,13 @@ def main(argv=None):
     ap.add_argument("--splits", default="train,test")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--set", action="append", default=[], metavar="K=V")
+    ap.add_argument("--allow-fallback", action="store_true",
+                    help="permit the deterministic hash pseudo-encoder when "
+                         "the model dir has no text_encoder/ (tests/smoke "
+                         "only — the store would NOT hold real embeddings)")
     args = ap.parse_args(argv)
+
+    import os
 
     from adv_grpo_tpu.cli.common import (
         apply_overrides, build_pipeline, build_text_encoder, resolve_config)
@@ -33,6 +39,22 @@ def main(argv=None):
     from adv_grpo_tpu.data.embed_store import write_store
 
     config = apply_overrides(resolve_config(args.config), args.set)
+    # guard the silent-fallback chain in build_text_encoder: precomputing
+    # FROM an existing store or from the hash pseudo-encoder would write a
+    # store of garbage that trains without any error anywhere
+    if str(config.get("text_embeds_dir", "")):
+        ap.error("config.text_embeds_dir is set — precompute would re-read "
+                 "the existing store instead of encoding; unset it "
+                 "(--set text_embeds_dir=)")
+    model_dir = str(config.pretrained.model)
+    if not (model_dir and os.path.isdir(os.path.join(model_dir, "text_encoder"))):
+        if not args.allow_fallback:
+            ap.error(
+                f"no text_encoder/ under {model_dir!r}: the real tri-encoder "
+                "stack is unavailable, so the store would hold hash-based "
+                "pseudo-embeddings. Point config.pretrained.model at a full "
+                "SD3 diffusers dir, or pass --allow-fallback for smoke runs")
+        print("WARNING: writing hash pseudo-embeddings (--allow-fallback)")
     pipeline = build_pipeline(config)
     encode = build_text_encoder(config, pipeline)
 

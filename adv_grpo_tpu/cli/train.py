@@ -32,9 +32,7 @@ def maybe_init_distributed():
         pid = os.environ.get("JAX_PROCESS_ID")
         if pid is not None:
             kw["process_id"] = int(pid)
-        from jax._src import distributed as _dist
-
-        if _dist.global_state.client is not None:
+        if jax.distributed.is_initialized():
             return  # idempotent: already initialized by the harness
         jax.distributed.initialize(**kw)
 

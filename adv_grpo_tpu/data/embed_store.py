@@ -75,22 +75,27 @@ def write_store(store_dir: str, prompts: List[str], encode_fn,
     uniq = list(seen)
     os.makedirs(store_dir, exist_ok=True)
 
-    e0, p0 = encode_fn(uniq[:1])
     n = len(uniq)
-    embeds = np.lib.format.open_memmap(
-        os.path.join(store_dir, "embeds.npy"), mode="w+", dtype=dtype,
-        shape=(n,) + tuple(e0.shape[1:]))
-    pooled = np.lib.format.open_memmap(
-        os.path.join(store_dir, "pooled.npy"), mode="w+", dtype=dtype,
-        shape=(n,) + tuple(p0.shape[1:]))
+    embeds = pooled = None
     for start in range(0, n, batch_size):
         chunk = uniq[start:start + batch_size]
         # fixed batch: pad with the last prompt so the jitted encoders never
         # retrace on the ragged final chunk
         padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
         e, p = encode_fn(padded)
-        embeds[start:start + len(chunk)] = e[: len(chunk)].astype(dtype)
-        pooled[start:start + len(chunk)] = p[: len(chunk)].astype(dtype)
+        if embeds is None:
+            # shapes come from the first real batch — a separate batch-1
+            # probe would force a second full XLA compile of the encoders
+            embeds = np.lib.format.open_memmap(
+                os.path.join(store_dir, "embeds.npy"), mode="w+", dtype=dtype,
+                shape=(n,) + tuple(np.shape(e)[1:]))
+            pooled = np.lib.format.open_memmap(
+                os.path.join(store_dir, "pooled.npy"), mode="w+", dtype=dtype,
+                shape=(n,) + tuple(np.shape(p)[1:]))
+        embeds[start:start + len(chunk)] = np.asarray(
+            e[: len(chunk)], dtype)
+        pooled[start:start + len(chunk)] = np.asarray(
+            p[: len(chunk)], dtype)
         if progress and (start // batch_size) % 50 == 0:
             print(f"encoded {min(start + batch_size, n)}/{n}", flush=True)
     embeds.flush()

@@ -301,8 +301,12 @@ def convert_siglip(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
 # ───────────────────────────── MMDiT (diffusers SD3Transformer2DModel) ───────
 
 
+_NO_DEFAULT = object()
+
+
 def detect_pos_embed_base(sd: Dict[str, np.ndarray], embed_dim: int,
-                          max_size: int, sample_size: int, patch_size: int):
+                          max_size: int, sample_size: int, patch_size: int,
+                          default=_NO_DEFAULT):
     """Read the position-scaling convention off the checkpoint's persisted
     sincos table (``pos_embed.pos_embed`` — diffusers PatchEmbed registers it
     persistent when pos_embed_max_size is set, so SD3 repos ship it).
@@ -313,16 +317,32 @@ def detect_pos_embed_base(sd: Dict[str, np.ndarray], embed_dim: int,
     base_size/grid_size), ``None`` for raw integer positions (the original
     Stability MMDiT table). Raises when the table matches neither — loading
     such weights silently would generate garbage. When the checkpoint has no
-    persisted table there is nothing to detect; returns ``default``.
+    persisted table there is nothing to detect: returns ``default`` with a
+    warning if one was given, else raises (the convention cannot be guessed
+    safely — a wrong one generates garbage with no error anywhere).
     """
     key = "pos_embed.pos_embed"
     if key not in sd:
-        return None
+        if default is _NO_DEFAULT:
+            raise ValueError(
+                "checkpoint has no persisted pos_embed.pos_embed table, so "
+                "the position-scaling convention cannot be detected — pass "
+                "default= (sample_size // patch_size for diffusers "
+                "checkpoints, None for raw-integer Stability tables)")
+        import warnings
+
+        warnings.warn(
+            "checkpoint has no persisted pos_embed.pos_embed table; assuming "
+            f"pos_embed_base_size={default!r} — if generations look like "
+            "noise, the positional-embedding convention is likely wrong")
+        return default
     from adv_grpo_tpu.models.mmdit import _sincos_table
 
-    table = np.asarray(sd[key], np.float64).reshape(max_size, max_size, -1)
+    # slice the 3x3 probe window off a view BEFORE casting — float64-ing the
+    # whole table first would materialise ~1.8 GB for SD3.5-M's 384^2 buffer
     n = min(3, max_size)
-    window = table[:n, :n]
+    window = (np.asarray(sd[key]).reshape(max_size, max_size, -1)[:n, :n]
+              .astype(np.float64))
     base = sample_size // patch_size
     for cand in (base, None):
         scale = (cand / max_size) if cand is not None else 1.0
@@ -785,7 +805,10 @@ def load_sd3_pipeline(model_dir: str, *, lora_rank=0, lora_alpha=1.0,
 
     mmdit_cfg = _dc.replace(mmdit_cfg, pos_embed_base_size=detect_pos_embed_base(
         t_sd, mmdit_cfg.hidden_dim, mmdit_cfg.pos_embed_max_size,
-        tc.get("sample_size", 128), tc["patch_size"]))
+        tc.get("sample_size", 128), tc["patch_size"],
+        # diffusers-layout dir: if the buffer was stripped, the diffusers
+        # base-scaled convention is the overwhelmingly likely one (warned)
+        default=tc.get("sample_size", 128) // tc["patch_size"]))
     params = convert_mmdit(t_sd, mmdit_cfg)
     if lora_rank > 0:
         params = _add_lora_leaves(params, mmdit_cfg)
@@ -999,7 +1022,9 @@ def preflight(model_dir: str, check_text_encoders: bool = True) -> dict:
         dual_attention_layers=tuple(tc.get("dual_attention_layers", ())))
     base = detect_pos_embed_base(t_sd, mmdit_cfg.hidden_dim,
                                  mmdit_cfg.pos_embed_max_size,
-                                 tc.get("sample_size", 128), tc["patch_size"])
+                                 tc.get("sample_size", 128), tc["patch_size"],
+                                 default=tc.get("sample_size", 128)
+                                 // tc["patch_size"])
     p = convert_mmdit(t_sd, mmdit_cfg)
     report["transformer"] = {
         "layers": mmdit_cfg.num_layers, "params": count(p),

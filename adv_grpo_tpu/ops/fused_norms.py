@@ -136,6 +136,15 @@ def _rms_kernel(x_ref, w_ref, y_ref, *, eps, d, hpb):
     y_ref[0] = y.astype(y_ref.dtype)
 
 
+def _rms_row_kernel(x_ref, w_ref, y_ref, *, eps):
+    # whole-row RMS (num_heads == 1, d any 128-multiple): WAN's across-heads
+    # qk-norm, where the "head" is the full H*d inner dim
+    x = x_ref[0].astype(jnp.float32)  # (bs, d)
+    w = w_ref[...].astype(jnp.float32)  # (1, d)
+    m2 = jnp.mean(x * x, axis=1, keepdims=True)
+    y_ref[0] = (x * jax.lax.rsqrt(m2 + eps) * w).astype(y_ref.dtype)
+
+
 def _rms_reference(x, w, num_heads, eps, out_dtype):
     b, s, hd = x.shape
     d = hd // num_heads
@@ -149,6 +158,26 @@ def _rms_reference(x, w, num_heads, eps, out_dtype):
 def _rms_heads_p(x, w, num_heads, eps, out_dtype, interpret):
     b, s, hd = x.shape
     d = hd // num_heads
+    if num_heads == 1 and hd % 128 == 0:
+        # across-heads RMS (WAN qk-norm): the whole row is one head, so the
+        # small-d subhead kernel below can't tile it — use a full-row block
+        bs = _pick_rows(s, hd * 4)
+        if not bs:
+            return _rms_reference(x, w, num_heads, eps, out_dtype)
+        return pl.pallas_call(
+            functools.partial(_rms_row_kernel, eps=eps),
+            grid=(b, s // bs),
+            in_specs=[
+                pl.BlockSpec((1, bs, hd), lambda b_, si: (b_, si, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hd), lambda b_, si: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bs, hd), lambda b_, si: (b_, si, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, s, hd), out_dtype),
+            interpret=interpret,
+        )(x, w.astype(jnp.float32)[None])
     if d > 128 or 128 % d or hd % 128:
         return _rms_reference(x, w, num_heads, eps, out_dtype)
     hpb = 128 // d

@@ -83,6 +83,18 @@ def run(args):
     ])
     result["eval_n_saved"] = s["n_saved"]
     result["eval_counts"] = s["reward_counts"]
+
+    # ── empty-shard eval: 1 prompt over 2 processes, rank 1's shard is
+    #    empty. The rank must still execute the per-reward-key collectives
+    #    (scoring its all-padding batch with valid=0) or the other rank
+    #    hangs forever in process_allgather ────────────────────────────────
+    s1 = eval_cli.main([
+        "--config", "smoke_sd3_fast", "--out_dir",
+        os.path.join(args.workdir, "eval_empty"),
+        "--limit", "1", "--batch", "2", "--rewards",
+    ])
+    result["eval_empty_n_saved"] = s1["n_saved"]
+    result["eval_empty_counts"] = s1["reward_counts"]
     result["ok"] = True
     return result
 

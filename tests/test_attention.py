@@ -162,6 +162,37 @@ class TestFusedNorms:
         pal = rms_norm_heads(x, w, num_heads=2, backend="pallas_interpret")
         np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
 
+    def test_rms_across_heads_full_row(self):
+        """num_heads=1 with d > 128 (WAN's across-heads qk-norm) runs the
+        full-row kernel, not the XLA fallback."""
+        from adv_grpo_tpu.ops.fused_norms import rms_norm_heads
+
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, 256, 384), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(8), (384,), jnp.float32) + 1.0
+        ref = rms_norm_heads(x, w, num_heads=1, backend="reference")
+        pal = rms_norm_heads(x, w, num_heads=1, backend="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
+
+        def loss(f):
+            return lambda x, w: jnp.sum(
+                jnp.sin(rms_norm_heads(x, w, num_heads=1, backend=f)) ** 2)
+
+        grx, grw = jax.grad(loss("reference"), (0, 1))(x, w)
+        gpx, gpw = jax.grad(loss("pallas_interpret"), (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gpx), np.asarray(grx), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gpw), np.asarray(grw), atol=2e-4)
+
+    def test_rms_across_heads_uses_kernel(self):
+        """The WAN geometry (num_heads=1, d=1536) must lower to a pallas
+        call, not fall back to the XLA reference (misleading-fusion guard)."""
+        from adv_grpo_tpu.ops.fused_norms import rms_norm_heads
+
+        x = jnp.ones((1, 128, 1536), jnp.float32)
+        w = jnp.ones((1536,))
+        txt = jax.make_jaxpr(lambda x, w: rms_norm_heads(
+            x, w, num_heads=1, backend="pallas_interpret"))(x, w)
+        assert "pallas_call" in str(txt)
+
 
 class TestModulatedLayerNorm:
     def test_parity_and_grads(self):

@@ -48,8 +48,16 @@ class TestEndToEnd:
         with text_embeds_dir — same images as the live-encoder path (the
         smoke encoder is deterministic, so outputs must be bitwise-close)."""
         store = str(tmp_path / "store")
+        import pytest
+
+        with pytest.raises(SystemExit):
+            # smoke config has no real text encoders: the CLI must refuse to
+            # write a hash-pseudo-embedding store without the explicit flag
+            precompute_embeds.main(["--config", "smoke_sd3_fast",
+                                    "--out", store, "--batch", "8"])
         precompute_embeds.main(["--config", "smoke_sd3_fast", "--out", store,
-                                "--splits", "train,test", "--batch", "8"])
+                                "--splits", "train,test", "--batch", "8",
+                                "--allow-fallback"])
         assert os.path.exists(os.path.join(store, "embeds.npy"))
         with open(os.path.join(store, "prompts.json")) as f:
             prompts = json.load(f)
@@ -79,7 +87,8 @@ class TestEndToEnd:
         """One smoke trainer epoch fed from the store (cli.train --set)."""
         store = str(tmp_path / "store")
         precompute_embeds.main(["--config", "smoke_sd3_fast", "--out", store,
-                                "--splits", "train,test", "--batch", "8"])
+                                "--splits", "train,test", "--batch", "8",
+                                "--allow-fallback"])
         from adv_grpo_tpu.cli import train as train_cli
 
         train_cli.main(["--config", "smoke_sd3_fast", "--max_epochs", "1",

@@ -87,9 +87,16 @@ class TestMMDiTParity:
         with pytest.raises(ValueError, match="positional"):
             convert.detect_pos_embed_base(sd, dim, m, cfg.sample_size,
                                           cfg.patch_size)
-        # no persisted table -> nothing to detect
-        assert convert.detect_pos_embed_base({}, dim, m, cfg.sample_size,
-                                             cfg.patch_size) is None
+        # no persisted table: refuses without an explicit default (the
+        # convention cannot be guessed safely), honours one with a warning
+        with pytest.raises(ValueError, match="cannot be detected"):
+            convert.detect_pos_embed_base({}, dim, m, cfg.sample_size,
+                                          cfg.patch_size)
+        with pytest.warns(UserWarning, match="assuming"):
+            assert convert.detect_pos_embed_base(
+                {}, dim, m, cfg.sample_size, cfg.patch_size,
+                default=cfg.sample_size // cfg.patch_size) \
+                == cfg.sample_size // cfg.patch_size
 
     def test_cropped_window_parity(self):
         """Non-square-filling latents exercise the centre-crop path on both

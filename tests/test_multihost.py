@@ -92,3 +92,15 @@ def test_eval_shards_and_merge(multihost_run):
     assert ranks == {"rank0", "rank1"}
     idxs = sorted(int(f_.split("_")[2]) for f_ in files)
     assert idxs == list(range(6))
+
+
+def test_eval_empty_shard_no_hang(multihost_run):
+    """--limit 1 over 2 processes gives rank 1 an EMPTY prompt shard; both
+    ranks must still return (reward-key collectives stay in lockstep) with a
+    global reward count of 1 — padded rows never counted."""
+    _, results = multihost_run
+    assert sorted(r["eval_empty_n_saved"] for r in results) == [0, 1]
+    for r in results:
+        assert r["eval_empty_counts"], "reward keys missing on a rank"
+        for k, c in r["eval_empty_counts"].items():
+            assert c == 1, (k, c)
