@@ -34,6 +34,7 @@ from adv_grpo_tpu.models.mmdit import (
     sincos_timestep_embedding,
 )
 from adv_grpo_tpu.ops.attention import mha_bshd
+from adv_grpo_tpu.ops.joint_attention import joint_mha
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,7 +115,6 @@ class FluxAttention(nn.Module):
         c = self.cfg
         H, d = c.num_attention_heads, c.attention_head_dim
         dim = c.hidden_dim
-        B, s_img, _ = img_mod.shape
         s_txt = txt_mod.shape[1]
         dense = lambda n: nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name=n)
 
@@ -128,24 +128,16 @@ class FluxAttention(nn.Module):
 
         iq, ik, iv = qkv(img_mod, "")
         tq, tk, tv = qkv(txt_mod, "add_")
-        # text first (diffusers Flux concat order); zero tail fuses the 128
-        # padding into the single concat (transpose-free BSHD layout)
-        s_tot = s_img + s_txt
-        pad = (-s_tot) % 128
-
-        def joint(t, i):
-            parts = [t, i]
-            if pad:
-                parts.append(jnp.zeros((B, pad, dim), t.dtype))
-            return jnp.concatenate(parts, axis=1)
-
-        cos_p = jnp.pad(cos, ((0, pad), (0, 0))) if pad else cos
-        sin_p = jnp.pad(sin, ((0, pad), (0, 0))) if pad else sin
-        q = apply_rope_bshd(joint(tq, iq), cos_p, sin_p, H)
-        k = apply_rope_bshd(joint(tk, ik), cos_p, sin_p, H)
-        o = mha_bshd(q, k, joint(tv, iv), num_heads=H, kv_len=s_tot,
-                     backend=c.attention_backend)
-        txt_o, img_o = o[:, :s_txt], o[:, s_txt:s_tot]
+        # RoPE positions follow the diffusers txt-first joint order: text
+        # tokens take cos/sin[:s_txt], image tokens the rest. The streams are
+        # never concatenated — ops.joint_attention walks them as two
+        # online-softmax kv blocks (block order is irrelevant to the result).
+        tq = apply_rope_bshd(tq, cos[:s_txt], sin[:s_txt], H)
+        tk = apply_rope_bshd(tk, cos[:s_txt], sin[:s_txt], H)
+        iq = apply_rope_bshd(iq, cos[s_txt:], sin[s_txt:], H)
+        ik = apply_rope_bshd(ik, cos[s_txt:], sin[s_txt:], H)
+        img_o, txt_o = joint_mha(iq, ik, iv, tq, tk, tv, num_heads=H,
+                                 backend=c.attention_backend)
         return dense("to_out")(img_o), dense("to_add_out")(txt_o)
 
 

@@ -16,10 +16,11 @@ Architecture parity targets (module semantics, not code):
   * AdaLayerNormContinuous head -> linear to patch^2 * out_channels -> unpatchify
 
 TPU design notes:
-  * attention runs through adv_grpo_tpu.ops.attention.mha_bshd (Pallas flash
+  * attention runs through adv_grpo_tpu.ops.joint_attention (Pallas flash
     kernel on TPU) directly in the (B, S, H*d) projection layout — no
-    transposes, and padding to a 128-multiple fuses into the single img‖txt
-    concat (key padding masked with a static kv_len; no dynamic shapes)
+    transposes, no img‖txt concat (the kernel walks the two streams as
+    separate online-softmax kv blocks), and the per-head RMS qk-norm is
+    fused into the q/k tile loads
   * compute dtype bf16 end-to-end, params fp32; all matmuls MXU-shaped
   * LoRA on the 8 joint-attention projections via models.lora.LoRADense with a
     runtime lora_scale (reference PEFT config train_sd3_fast_pickscore.py:490-511)
@@ -39,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adv_grpo_tpu.models.lora import LoRADense
-from adv_grpo_tpu.ops.attention import mha_bshd
+from adv_grpo_tpu.ops.joint_attention import joint_mha, mha_rms
 from adv_grpo_tpu.ops.fused_norms import (
     layer_norm, modulated_layer_norm, rms_norm_heads)
 
@@ -189,7 +190,11 @@ def _mod_ln(x, scale, shift, dtype):
 
 class HeadRMSNorm(nn.Module):
     """Per-head RMS norm applied in the (B, S, H*d) attention layout (fused
-    Pallas kernel on TPU). Param tree identical to RMSNorm ('weight' (d,))."""
+    Pallas kernel on TPU). Param tree identical to RMSNorm ('weight' (d,)).
+
+    Called with ``x=None`` it only materialises and returns the weight — the
+    attention modules use this to fold the norm INTO the flash kernel
+    (ops.joint_attention) while keeping the checkpoint tree unchanged."""
 
     dim: int  # head dim d
     num_heads: int
@@ -197,9 +202,11 @@ class HeadRMSNorm(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None):
         weight = self.param("weight", nn.initializers.ones, (self.dim,),
                             jnp.float32)
+        if x is None:
+            return weight
         return rms_norm_heads(x, weight, num_heads=self.num_heads,
                               eps=self.eps, out_dtype=self.dtype)
 
@@ -242,16 +249,10 @@ class JointAttention(nn.Module):
         c = self.cfg
         H, d = c.num_attention_heads, c.attention_head_dim
         dim = c.hidden_dim
-        B, s_img, _ = x.shape
-        s_txt = ctx.shape[1]
 
         def proj(name, inp):
             return LoRADense(dim, lora_rank=c.lora_rank, lora_alpha=c.lora_alpha,
                              dtype=c.dtype, name=name)(inp, lora_scale=lora_scale)
-
-        def head_norm(t, name):
-            # per-head RMS over d, fused in the BSHD layout
-            return HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name=name)(t)
 
         q = proj("to_q", x)  # (B, s_img, dim) — kept in BSHD layout throughout
         k = proj("to_k", x)
@@ -260,33 +261,27 @@ class JointAttention(nn.Module):
         ck = proj("add_k_proj", ctx)
         cv = proj("add_v_proj", ctx)
 
+        # the two streams are never concatenated: ops.joint_attention walks
+        # them as two online-softmax kv blocks, with the per-head RMS qk-norm
+        # fused into the q/k tile loads (the round-2 path spent 4 RMS kernels
+        # + 3 HBM concats + a slice per call on the same math)
+        rms_weights = None
         if c.qk_norm:
-            q = head_norm(q, "norm_q")
-            k = head_norm(k, "norm_k")
-            cq = head_norm(cq, "norm_added_q")
-            ck = head_norm(ck, "norm_added_k")
+            hn = lambda name: HeadRMSNorm(d, num_heads=H, dtype=c.dtype,
+                                          name=name)()
+            rms_weights = (hn("norm_q"), hn("norm_k"),
+                           hn("norm_added_q"), hn("norm_added_k"))
 
-        # joint sequence: image tokens, text tokens, zero tail to a 128
-        # multiple — ONE concat per tensor; attention runs transpose-free in
-        # (B, S, H*d) (device traces: the BHSD transpose+pad+unpad copies cost
-        # ~25% of an MMDiT forward)
-        s_tot = s_img + s_txt
-        pad = (-s_tot) % 128
-        def joint(a, ca):
-            parts = [a, ca]
-            if pad:
-                parts.append(jnp.zeros((B, pad, dim), a.dtype))
-            return jnp.concatenate(parts, axis=1)
-
-        o = mha_bshd(joint(q, cq), joint(k, ck), joint(v, cv), num_heads=H,
-                     kv_len=s_tot, backend=c.attention_backend)
+        o_img, o_txt = joint_mha(q, k, v, cq, ck, cv, num_heads=H,
+                                 rms_weights=rms_weights,
+                                 backend=c.attention_backend)
 
         x_out = LoRADense(dim, lora_rank=c.lora_rank, lora_alpha=c.lora_alpha,
-                          dtype=c.dtype, name="to_out")(o[:, :s_img], lora_scale=lora_scale)
+                          dtype=c.dtype, name="to_out")(o_img, lora_scale=lora_scale)
         if self.context_pre_only:
             return x_out, None
         ctx_out = LoRADense(dim, lora_rank=c.lora_rank, lora_alpha=c.lora_alpha,
-                            dtype=c.dtype, name="to_add_out")(o[:, s_img:s_tot], lora_scale=lora_scale)
+                            dtype=c.dtype, name="to_add_out")(o_txt, lora_scale=lora_scale)
         return x_out, ctx_out
 
 
@@ -301,25 +296,21 @@ class DualSelfAttention(nn.Module):
         c = self.cfg
         H, d = c.num_attention_heads, c.attention_head_dim
         dim = c.hidden_dim
-        B, s, _ = x.shape
         dense = lambda name: nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
                                       name=name)
         q = dense("to_q")(x)  # (B, s, dim), BSHD layout end to end
         k = dense("to_k")(x)
         v = dense("to_v")(x)
+        # qk-RMS fused into the flash kernel (ops.joint_attention.mha_rms);
+        # at 512^2 the image stream is 1024 tokens — zero layout copies
+        rms_weights = None
         if c.qk_norm:
-            q = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_q")(q)
-            k = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_k")(k)
-        pad = (-s) % 128
-        if pad:
-            zt = lambda a: jnp.concatenate(
-                [a, jnp.zeros((B, pad, dim), a.dtype)], axis=1)
-            q, k, v = zt(q), zt(k), zt(v)
-        # at 512^2 the image stream is 1024 tokens — already 128-aligned, so
-        # this attention runs with ZERO layout copies
-        o = mha_bshd(q, k, v, num_heads=H, kv_len=s,
-                     backend=c.attention_backend)
-        return dense("to_out")(o[:, :s] if pad else o)
+            rms_weights = (
+                HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_q")(),
+                HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_k")())
+        o = mha_rms(q, k, v, num_heads=H, rms_weights=rms_weights,
+                    backend=c.attention_backend)
+        return dense("to_out")(o)
 
 
 class JointBlock(nn.Module):
@@ -349,9 +340,10 @@ class JointBlock(nn.Module):
             ctx_mod = _mod_ln(ctx, c_scale_msa, c_shift_msa, c.dtype)
 
         # the save_attn remat policy keys on "attn_out" names attached to the
-        # flash kernel's o/lse INSIDE _flash_mha_bshd_fwd (ops/attention.py)
-        # — naming here, after the output projections, would still recompute
-        # the kernels in the remat re-forward
+        # flash kernel's o/lse INSIDE the custom-VJP forwards
+        # (ops/joint_attention.py) — naming here, after the output
+        # projections, would still recompute the kernels in the remat
+        # re-forward
         attn_out, ctx_attn_out = JointAttention(
             c, context_pre_only=self.context_pre_only, name="attn"
         )(x_mod, ctx_mod, lora_scale=lora_scale)

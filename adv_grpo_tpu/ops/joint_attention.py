@@ -1,0 +1,608 @@
+"""Joint two-stream flash attention with fused qk-RMS (Pallas TPU).
+
+MMDiT's joint attention concatenates image and text token streams, runs
+bidirectional attention, and splits the result back (reference: diffusers
+JointAttnProcessor inside SD3Transformer2DModel — the torch path materialises
+``torch.cat([x, ctx])`` exactly the same way). The round-1/2 TPU port did the
+same: 4 per-head RMS kernels (q/k per stream), then 3 HBM concats (q,k,v with
+a zero tail to a 128-multiple), the flash kernel, and a slice — every one of
+those a full (B, S, H*d) HBM round-trip that XLA cannot fuse into the opaque
+``pallas_call``.
+
+This kernel removes all of them. The two streams stay separate in HBM and are
+walked as TWO kv blocks of the standard online-softmax loop (the flash
+machinery already handles cross-block renormalisation), so:
+
+  * no concatenated q/k/v is ever materialised,
+  * no zero tail / kv-length mask is needed (both blocks are fully valid),
+  * the per-stream per-head RMS qk-norm folds into the q/k tile loads
+    (read once from HBM, normalise in VMEM registers, feed the MXU).
+
+Grid: ``(B, head_groups, q_stream, kv_stream)`` — a q-stream's scratch
+survives the two kv iterations; block index maps are constant over the last
+two grid dims, so Pallas fetches each q/k/v tile exactly once per (batch,
+head-group) window.
+
+Backward composes existing, tested pieces: recompute normalised q/k with the
+fused RMS kernel, run the BSHD flash backward (ops.attention._bshd_bwd) on
+the concatenated layout, split, and push gradients through the RMS closed
+form (same math as ops.fused_norms._rms_heads_p_bwd). The concat cost in bwd
+is the price the unfused path paid in fwd — and bwd only runs on the 2-step
+training window, while the fused fwd serves all 10 rollout steps.
+
+``mha_rms`` is the single-stream variant (SD3.5's dual self-attention): same
+fused qk-RMS, one kv stream.
+
+Numerics: identical op sequence to HeadRMSNorm + mha_bshd (fp32 stats, bf16
+cast before the MXU dot), but the online softmax visits two kv blocks instead
+of one masked whole-tile block, so results differ from the unfused path by
+f32 renormalisation rounding only (tests bound it at ~1e-2 in bf16).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from adv_grpo_tpu.ops.attention import (
+    LSE_LANES, _bshd_bwd, _bshd_group_geometry, attention_reference, mha_bshd)
+from adv_grpo_tpu.ops.fused_norms import _rms_reference, rms_norm_heads
+
+# whole-tile f32 scores budget: (S_q, S_kv) per subhead live in VMEM.
+# 1024^2 * 4B = 4MB at the 512^2 production shape.
+_SCORES_BUDGET = 8 * 1024 * 1024
+_PAD_LSE = 1e9  # padded-row lse: exp(s - 1e9) == 0 for any finite score
+
+
+def _rms_bwd_closed(x, w, dy, num_heads, eps):
+    """Closed-form RMS backward (= fused_norms._rms_heads_p_bwd math)."""
+    b, s, hd = x.shape
+    d = hd // num_heads
+    xf = x.reshape(b, s, num_heads, d).astype(jnp.float32)
+    g = dy.reshape(b, s, num_heads, d).astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    m2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(m2 + eps)
+    gw = g * wf
+    dx = r * gw - xf * (r**3 / d) * jnp.sum(xf * gw, axis=-1, keepdims=True)
+    dw = jnp.sum(g * xf * r, axis=(0, 1, 2))
+    return dx.reshape(b, s, hd).astype(x.dtype), dw.astype(w.dtype)
+
+
+# ───────────────────────────── forward kernel ─────────────────────────────
+
+
+def _joint_fwd_kernel(qi_ref, ki_ref, vi_ref, qt_ref, kt_ref, vt_ref,
+                      wq_ref, wk_ref,
+                      oi_ref, ot_ref, lsei_ref, lset_ref,
+                      mi, li, acci, mt, lt, acct,
+                      *, sm_scale, eps, d, hpb, fuse_rms, t_valid):
+    """One (batch, head-group) window; qs/ks grid dims walk the streams.
+
+    wq_ref/wk_ref: (2, 128) — row 0 the image-stream weight, row 1 the text
+    (``add_*``) weight, each tiled across the group's hpb subheads.
+
+    ``t_valid``: None, or the number of REAL text tokens when the text stream
+    was zero-padded to an 8-multiple by the wrapper (SD3's 154-token prompt
+    embeds) — padded kv columns are masked to -inf before the online softmax.
+    """
+    ks = pl.program_id(3)
+
+    def norm(x, w_ref, stream, i):
+        # per-subhead RMS in fp32 then bf16 cast — the exact HeadRMSNorm
+        # op sequence, so the fused path matches the unfused one bitwise
+        # (before online-softmax renormalisation differences)
+        if not fuse_rms:
+            return x
+        xf = x.astype(jnp.float32)
+        m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+        w = w_ref[stream:stream + 1, i * d:(i + 1) * d].astype(jnp.float32)
+        return ((xf * jax.lax.rsqrt(m2 + eps)) * w).astype(x.dtype)
+
+    def kv_step(q_ref, q_stream, k_ref, v_ref, kv_stream, m_scr, l_scr, acc_scr):
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        for i in range(hpb):
+            qi = norm(q[:, i * d:(i + 1) * d], wq_ref, q_stream, i)
+            ki = norm(k[:, i * d:(i + 1) * d], wk_ref, kv_stream, i)
+            s = jax.lax.dot_general(
+                qi, ki, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            if kv_stream == 1 and t_valid is not None:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < t_valid, s, -jnp.inf)
+            m_prev = m_scr[i]
+            l_prev = l_scr[i]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[i] = m_next
+            l_scr[i] = l_next
+            pv = jax.lax.dot(p.astype(v.dtype), v[:, i * d:(i + 1) * d],
+                             preferred_element_type=jnp.float32)
+            acc_scr[i] = acc_scr[i] * alpha[:, :1] + pv
+
+    def store(o_ref, lse_ref, m_scr, l_scr, acc_scr):
+        outs = []
+        for i in range(hpb):
+            l_fin = l_scr[i][:, :1]
+            l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+            outs.append(acc_scr[i] * l_inv)
+            if lse_ref is not None:
+                lse_ref[0, i] = (m_scr[i] + jnp.log(
+                    jnp.maximum(l_scr[i], 1e-37)))[:, :LSE_LANES]
+        o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+    def q_stream_body(q_ref, q_stream, m_scr, l_scr, acc_scr, o_ref, lse_ref):
+        @pl.when(ks == 0)
+        def _img_kv():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+            kv_step(q_ref, q_stream, ki_ref, vi_ref, 0, m_scr, l_scr, acc_scr)
+
+        @pl.when(ks == 1)
+        def _txt_kv():
+            kv_step(q_ref, q_stream, kt_ref, vt_ref, 1, m_scr, l_scr, acc_scr)
+            store(o_ref, lse_ref, m_scr, l_scr, acc_scr)
+
+    qs = pl.program_id(2)
+
+    @pl.when(qs == 0)
+    def _img_q():
+        q_stream_body(qi_ref, 0, mi, li, acci, oi_ref, lsei_ref)
+
+    @pl.when(qs == 1)
+    def _txt_q():
+        q_stream_body(qt_ref, 1, mt, lt, acct, ot_ref, lset_ref)
+
+
+def _joint_fwd(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2, num_heads, sm_scale,
+               eps, fuse_rms, interpret, save_residuals, t_valid=None):
+    b, s_i, hd = q_i.shape
+    s_t = q_t.shape[1]
+    d, hpb = _bshd_group_geometry(hd, num_heads)
+    ngroups = num_heads // hpb
+    grid = (b, ngroups, 2, 2)
+
+    kernel = functools.partial(
+        _joint_fwd_kernel, sm_scale=sm_scale, eps=eps, d=d, hpb=hpb,
+        fuse_rms=fuse_rms, t_valid=t_valid)
+    if not save_residuals:
+        kernel = functools.partial(
+            lambda qi_, ki_, vi_, qt_, kt_, vt_, wq_, wk_, oi_, ot_, mi, li,
+            ai, mt, lt, at, kern=None: kern(
+                qi_, ki_, vi_, qt_, kt_, vt_, wq_, wk_, oi_, ot_, None, None,
+                mi, li, ai, mt, lt, at),
+            kern=kernel)
+
+    # index maps constant over (qs, ks): each tile is DMA'd once per (b, g)
+    img_spec = pl.BlockSpec((1, s_i, 128), lambda b_, g_, qs_, ks_: (b_, 0, g_),
+                            memory_space=pltpu.VMEM)
+    txt_spec = pl.BlockSpec((1, s_t, 128), lambda b_, g_, qs_, ks_: (b_, 0, g_),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((2, 128), lambda b_, g_, qs_, ks_: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = [img_spec, txt_spec]
+    out_shape = [jax.ShapeDtypeStruct((b, s_i, hd), q_i.dtype),
+                 jax.ShapeDtypeStruct((b, s_t, hd), q_t.dtype)]
+    if save_residuals:
+        lse_i_spec = pl.BlockSpec(
+            (1, hpb, s_i, LSE_LANES), lambda b_, g_, qs_, ks_: (b_, g_, 0, 0),
+            memory_space=pltpu.VMEM)
+        lse_t_spec = pl.BlockSpec(
+            (1, hpb, s_t, LSE_LANES), lambda b_, g_, qs_, ks_: (b_, g_, 0, 0),
+            memory_space=pltpu.VMEM)
+        out_specs += [lse_i_spec, lse_t_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((b, num_heads, s_i, LSE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_heads, s_t, LSE_LANES), jnp.float32)]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[img_spec, img_spec, img_spec, txt_spec, txt_spec, txt_spec,
+                  w_spec, w_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((hpb, s_i, 128), jnp.float32),
+            pltpu.VMEM((hpb, s_i, 128), jnp.float32),
+            pltpu.VMEM((hpb, s_i, d), jnp.float32),
+            pltpu.VMEM((hpb, s_t, 128), jnp.float32),
+            pltpu.VMEM((hpb, s_t, 128), jnp.float32),
+            pltpu.VMEM((hpb, s_t, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2)
+    if save_residuals:
+        return outs[0], outs[1], outs[2], outs[3]
+    return outs[0], outs[1], None, None
+
+
+# ──────────────────────── custom VJP (joint, 2-stream) ────────────────────────
+
+
+def _tile_w2(w_img, w_txt, hpb):
+    """(d,) weights -> (2, 128) f32: per-stream rows, tiled across subheads."""
+    return jnp.stack([jnp.tile(w_img.astype(jnp.float32), hpb),
+                      jnp.tile(w_txt.astype(jnp.float32), hpb)], axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+def _joint_mha_p(q_i, k_i, v_i, q_t, k_t, v_t, wq_i, wk_i, wq_t, wk_t,
+                 num_heads, sm_scale, eps, fuse_rms, interpret, t_valid):
+    hd = q_i.shape[-1]
+    hpb = 128 // (hd // num_heads)
+    wq2 = _tile_w2(wq_i, wq_t, hpb)
+    wk2 = _tile_w2(wk_i, wk_t, hpb)
+    o_i, o_t, _, _ = _joint_fwd(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2,
+                                num_heads, sm_scale, eps, fuse_rms, interpret,
+                                save_residuals=False, t_valid=t_valid)
+    return o_i, o_t
+
+
+def _joint_mha_p_fwd(q_i, k_i, v_i, q_t, k_t, v_t, wq_i, wk_i, wq_t, wk_t,
+                     num_heads, sm_scale, eps, fuse_rms, interpret, t_valid):
+    from jax.ad_checkpoint import checkpoint_name
+
+    hd = q_i.shape[-1]
+    hpb = 128 // (hd // num_heads)
+    wq2 = _tile_w2(wq_i, wq_t, hpb)
+    wk2 = _tile_w2(wk_i, wk_t, hpb)
+    o_i, o_t, lse_i, lse_t = _joint_fwd(
+        q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2, num_heads, sm_scale, eps,
+        fuse_rms, interpret, save_residuals=True, t_valid=t_valid)
+    # save_attn remat contract (see ops.attention._flash_mha_bshd_fwd): name
+    # o + squeezed lse so the remat re-forward skips the flash kernel
+    o_i = checkpoint_name(o_i, "attn_out")
+    o_t = checkpoint_name(o_t, "attn_out")
+    lse_i_small = checkpoint_name(lse_i[..., 0], "attn_out")
+    lse_t_small = checkpoint_name(lse_t[..., 0], "attn_out")
+    res = (q_i, k_i, v_i, q_t, k_t, v_t, wq_i, wk_i, wq_t, wk_t,
+           o_i, o_t, lse_i_small, lse_t_small)
+    return (o_i, o_t), res
+
+
+def _joint_mha_p_bwd(num_heads, sm_scale, eps, fuse_rms, interpret, t_valid,
+                     res, cot):
+    # ``t_valid`` is fwd-only: the wrapper zero-pads the text stream, so the
+    # padded kv columns carry k=v=0 here — they contribute nothing to dq
+    # (0-valued k), and their dk/dv rows are sliced off by the wrapper's pad
+    # transpose. No masking needed in the backward.
+    (q_i, k_i, v_i, q_t, k_t, v_t, wq_i, wk_i, wq_t, wk_t,
+     o_i, o_t, lse_i_small, lse_t_small) = res
+    do_i, do_t = cot
+    b, s_i, hd = q_i.shape
+    s_t = q_t.shape[1]
+    s_tot = s_i + s_t
+    pad = (-s_tot) % 128
+    backend = "pallas_interpret" if interpret else "pallas"
+
+    if fuse_rms:
+        yq_i = rms_norm_heads(q_i, wq_i, num_heads=num_heads, eps=eps,
+                              backend=backend)
+        yk_i = rms_norm_heads(k_i, wk_i, num_heads=num_heads, eps=eps,
+                              backend=backend)
+        yq_t = rms_norm_heads(q_t, wq_t, num_heads=num_heads, eps=eps,
+                              backend=backend)
+        yk_t = rms_norm_heads(k_t, wk_t, num_heads=num_heads, eps=eps,
+                              backend=backend)
+    else:
+        yq_i, yk_i, yq_t, yk_t = q_i, k_i, q_t, k_t
+
+    def cat(a, b_, fill=0.0):
+        parts = [a, b_]
+        if pad:
+            parts.append(jnp.full((a.shape[0], pad, a.shape[2]), fill,
+                                  a.dtype))
+        return jnp.concatenate(parts, axis=1)
+
+    qj = cat(yq_i, yq_t)
+    kj = cat(yk_i, yk_t)
+    vj = cat(v_i, v_t)
+    oj = cat(o_i, o_t)
+    doj = cat(do_i, do_t)
+    # lse layout (B, H, S, LSE_LANES); padded q rows get a huge lse so
+    # p = exp(s - lse) underflows to 0 (their do is 0 already — this guards
+    # the p*(dp-di) NaN path, not correctness of real rows)
+    lse_parts = [jnp.broadcast_to(a[..., None], a.shape + (LSE_LANES,))
+                 for a in (lse_i_small, lse_t_small)]
+    if pad:
+        lse_parts.append(jnp.full((b, num_heads, pad, LSE_LANES), _PAD_LSE,
+                                  jnp.float32))
+    lsej = jnp.concatenate(lse_parts, axis=2)
+
+    dqj, dkj, dvj = _bshd_bwd(qj, kj, vj, oj, lsej, doj, sm_scale,
+                              s_tot if pad else None, None, None, interpret,
+                              num_heads)
+    dyq_i, dyq_t = dqj[:, :s_i], dqj[:, s_i:s_tot]
+    dyk_i, dyk_t = dkj[:, :s_i], dkj[:, s_i:s_tot]
+    dv_i, dv_t = dvj[:, :s_i], dvj[:, s_i:s_tot]
+
+    if fuse_rms:
+        dq_i, dwq_i = _rms_bwd_closed(q_i, wq_i, dyq_i, num_heads, eps)
+        dk_i, dwk_i = _rms_bwd_closed(k_i, wk_i, dyk_i, num_heads, eps)
+        dq_t, dwq_t = _rms_bwd_closed(q_t, wq_t, dyq_t, num_heads, eps)
+        dk_t, dwk_t = _rms_bwd_closed(k_t, wk_t, dyk_t, num_heads, eps)
+    else:
+        dq_i, dk_i, dq_t, dk_t = dyq_i, dyk_i, dyq_t, dyk_t
+        dwq_i = jnp.zeros_like(wq_i)
+        dwk_i = jnp.zeros_like(wk_i)
+        dwq_t = jnp.zeros_like(wq_t)
+        dwk_t = jnp.zeros_like(wk_t)
+    return (dq_i, dk_i, dv_i, dq_t, dk_t, dv_t, dwq_i, dwk_i, dwq_t, dwk_t)
+
+
+_joint_mha_p.defvjp(_joint_mha_p_fwd, _joint_mha_p_bwd)
+
+
+def joint_mha(q_img, k_img, v_img, q_txt, k_txt, v_txt, *, num_heads,
+              rms_weights=None, eps: float = 1e-6, sm_scale=None,
+              backend=None):
+    """Two-stream joint attention -> (o_img, o_txt), streams never concatenated.
+
+    ``rms_weights``: None, or (wq_img, wk_img, wq_txt, wk_txt) each (d,) — the
+    SD3.5 per-head qk-RMS weights (norm_q / norm_k / norm_added_q /
+    norm_added_k), applied fused inside the kernel.
+
+    Semantics == HeadRMSNorm on q/k per stream, concat [img ; txt], full
+    bidirectional attention, split (the diffusers JointAttnProcessor contract).
+    """
+    b, s_i, hd = q_img.shape
+    s_t = q_txt.shape[1]
+    d = hd // num_heads
+    if sm_scale is None:
+        sm_scale = d**-0.5
+    if backend is None:
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "reference"
+
+    fuse_rms = rms_weights is not None
+    if backend == "reference":
+        if fuse_rms:
+            wq_i, wk_i, wq_t, wk_t = rms_weights
+            q_img = _rms_reference(q_img, wq_i, num_heads, eps, q_img.dtype)
+            k_img = _rms_reference(k_img, wk_i, num_heads, eps, k_img.dtype)
+            q_txt = _rms_reference(q_txt, wq_t, num_heads, eps, q_txt.dtype)
+            k_txt = _rms_reference(k_txt, wk_t, num_heads, eps, k_txt.dtype)
+        to4 = lambda a: a.reshape(b, a.shape[1], num_heads, d).transpose(0, 2, 1, 3)
+        q = jnp.concatenate([to4(q_img), to4(q_txt)], axis=2)
+        k = jnp.concatenate([to4(k_img), to4(k_txt)], axis=2)
+        v = jnp.concatenate([to4(v_img), to4(v_txt)], axis=2)
+        o = attention_reference(q, k, v, sm_scale=sm_scale)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s_i + s_t, hd)
+        return o[:, :s_i], o[:, s_i:]
+
+    # geometry / VMEM guards -> unfused composition fallback (identical
+    # semantics, the round-2 path)
+    geo = _bshd_group_geometry(hd, num_heads)
+    scores_bytes = max(s_i, s_t) * max(s_i, s_t) * 4
+    if geo is None or s_i % 8 or scores_bytes > _SCORES_BUDGET:
+        if fuse_rms:
+            wq_i, wk_i, wq_t, wk_t = rms_weights
+            kw = dict(num_heads=num_heads, eps=eps, backend=backend)
+            q_img = rms_norm_heads(q_img, wq_i, **kw)
+            k_img = rms_norm_heads(k_img, wk_i, **kw)
+            q_txt = rms_norm_heads(q_txt, wq_t, **kw)
+            k_txt = rms_norm_heads(k_txt, wk_t, **kw)
+        s_tot = s_i + s_t
+        pad = (-s_tot) % 128
+
+        def joint(a, ca):
+            parts = [a, ca]
+            if pad:
+                parts.append(jnp.zeros((b, pad, hd), a.dtype))
+            return jnp.concatenate(parts, axis=1)
+
+        o = mha_bshd(joint(q_img, q_txt), joint(k_img, k_txt),
+                     joint(v_img, v_txt), num_heads=num_heads,
+                     sm_scale=sm_scale, kv_len=s_tot, backend=backend)
+        return o[:, :s_i], o[:, s_i:s_tot]
+
+    if fuse_rms:
+        wq_i, wk_i, wq_t, wk_t = rms_weights
+    else:
+        wq_i = wk_i = wq_t = wk_t = jnp.ones((d,), jnp.float32)
+
+    # sublane alignment: zero-pad an unaligned text stream (SD3's 154-token
+    # prompt embeds) to an 8-multiple and mask the padded kv columns in-kernel
+    t_valid = None
+    t_pad = (-s_t) % 8
+    if t_pad:
+        t_valid = s_t
+        zt = lambda a: jnp.concatenate(
+            [a, jnp.zeros((b, t_pad, hd), a.dtype)], axis=1)
+        q_txt, k_txt, v_txt = zt(q_txt), zt(k_txt), zt(v_txt)
+
+    o_img, o_txt = _joint_mha_p(
+        q_img, k_img, v_img, q_txt, k_txt, v_txt, wq_i, wk_i, wq_t, wk_t,
+        num_heads, float(sm_scale), float(eps), fuse_rms,
+        backend == "pallas_interpret", t_valid)
+    if t_pad:
+        o_txt = o_txt[:, :s_t]
+    return o_img, o_txt
+
+
+# ──────────────────── single-stream variant (dual attention) ────────────────────
+
+
+def _single_fwd_kernel(q_ref, k_ref, v_ref, wq_ref, wk_ref, o_ref, lse_ref,
+                       m_scr, l_scr, acc_scr, *, sm_scale, eps, d, hpb,
+                       fuse_rms):
+    """Whole-tile single-stream attention with fused qk-RMS; grid (B, G)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    outs = []
+    for i in range(hpb):
+        qi = q[:, i * d:(i + 1) * d]
+        ki = k[:, i * d:(i + 1) * d]
+        if fuse_rms:
+            def norm(x, w_ref):
+                xf = x.astype(jnp.float32)
+                m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+                w = w_ref[0:1, i * d:(i + 1) * d].astype(jnp.float32)
+                return ((xf * jax.lax.rsqrt(m2 + eps)) * w).astype(x.dtype)
+            qi = norm(qi, wq_ref)
+            ki = norm(ki, wk_ref)
+        s = jax.lax.dot_general(
+            qi, ki, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot(p.astype(v.dtype), v[:, i * d:(i + 1) * d],
+                         preferred_element_type=jnp.float32)
+        outs.append(pv / l)
+        if lse_ref is not None:
+            lse_ref[0, i] = jnp.broadcast_to(
+                m + jnp.log(jnp.maximum(l, 1e-37)), (q.shape[0], LSE_LANES))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+    del m_scr, l_scr, acc_scr  # single kv block: no cross-block state needed
+
+
+def _single_fwd(q, k, v, wq2, wk2, num_heads, sm_scale, eps, fuse_rms,
+                interpret, save_residuals):
+    b, s, hd = q.shape
+    d, hpb = _bshd_group_geometry(hd, num_heads)
+    ngroups = num_heads // hpb
+    grid = (b, ngroups)
+    kernel = functools.partial(_single_fwd_kernel, sm_scale=sm_scale, eps=eps,
+                               d=d, hpb=hpb, fuse_rms=fuse_rms)
+    if not save_residuals:
+        kernel = functools.partial(
+            lambda q_, k_, v_, wq_, wk_, o_, m, l, a, kern=None: kern(
+                q_, k_, v_, wq_, wk_, o_, None, m, l, a),
+            kern=kernel)
+    spec = pl.BlockSpec((1, s, 128), lambda b_, g_: (b_, 0, g_),
+                        memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 128), lambda b_, g_: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = [spec]
+    out_shape = [jax.ShapeDtypeStruct((b, s, hd), q.dtype)]
+    if save_residuals:
+        out_specs.append(pl.BlockSpec(
+            (1, hpb, s, LSE_LANES), lambda b_, g_: (b_, g_, 0, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, num_heads, s, LSE_LANES),
+                                              jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec, spec, w_spec, w_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v, wq2, wk2)
+    if save_residuals:
+        return outs[0], outs[1]
+    return outs[0], None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _mha_rms_p(q, k, v, wq, wk, num_heads, sm_scale, eps, fuse_rms, interpret):
+    hpb = 128 // (q.shape[-1] // num_heads)
+    wq2 = jnp.tile(wq.astype(jnp.float32), hpb)[None]
+    wk2 = jnp.tile(wk.astype(jnp.float32), hpb)[None]
+    o, _ = _single_fwd(q, k, v, wq2, wk2, num_heads, sm_scale, eps, fuse_rms,
+                       interpret, save_residuals=False)
+    return o
+
+
+def _mha_rms_p_fwd(q, k, v, wq, wk, num_heads, sm_scale, eps, fuse_rms,
+                   interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
+    hpb = 128 // (q.shape[-1] // num_heads)
+    wq2 = jnp.tile(wq.astype(jnp.float32), hpb)[None]
+    wk2 = jnp.tile(wk.astype(jnp.float32), hpb)[None]
+    o, lse = _single_fwd(q, k, v, wq2, wk2, num_heads, sm_scale, eps, fuse_rms,
+                         interpret, save_residuals=True)
+    o = checkpoint_name(o, "attn_out")
+    lse_small = checkpoint_name(lse[..., 0], "attn_out")
+    return o, (q, k, v, wq, wk, o, lse_small)
+
+
+def _mha_rms_p_bwd(num_heads, sm_scale, eps, fuse_rms, interpret, res, do):
+    q, k, v, wq, wk, o, lse_small = res
+    backend = "pallas_interpret" if interpret else "pallas"
+    if fuse_rms:
+        yq = rms_norm_heads(q, wq, num_heads=num_heads, eps=eps, backend=backend)
+        yk = rms_norm_heads(k, wk, num_heads=num_heads, eps=eps, backend=backend)
+    else:
+        yq, yk = q, k
+    lse = jnp.broadcast_to(lse_small[..., None], lse_small.shape + (LSE_LANES,))
+    dyq, dyk, dv = _bshd_bwd(yq, yk, v, o, lse, do, sm_scale, None, None, None,
+                             interpret, num_heads)
+    if fuse_rms:
+        dq, dwq = _rms_bwd_closed(q, wq, dyq, num_heads, eps)
+        dk, dwk = _rms_bwd_closed(k, wk, dyk, num_heads, eps)
+    else:
+        dq, dk = dyq, dyk
+        dwq, dwk = jnp.zeros_like(wq), jnp.zeros_like(wk)
+    return dq, dk, dv, dwq, dwk
+
+
+_mha_rms_p.defvjp(_mha_rms_p_fwd, _mha_rms_p_bwd)
+
+
+def mha_rms(q, k, v, *, num_heads, rms_weights=None, eps: float = 1e-6,
+            sm_scale=None, backend=None):
+    """Single-stream (B, S, H*d) attention with fused per-head qk-RMS —
+    SD3.5's dual self-attention path. S must be 8-aligned and the scores tile
+    must fit VMEM; otherwise falls back to the unfused composition."""
+    b, s, hd = q.shape
+    d = hd // num_heads
+    if sm_scale is None:
+        sm_scale = d**-0.5
+    if backend is None:
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "reference"
+    fuse_rms = rms_weights is not None
+
+    def unfused(backend_):
+        qq, kk = q, k
+        if fuse_rms:
+            wq, wk = rms_weights
+            kw = dict(num_heads=num_heads, eps=eps, backend=backend_)
+            qq = rms_norm_heads(q, wq, **kw)
+            kk = rms_norm_heads(k, wk, **kw)
+        pad = (-s) % 128
+        if pad:
+            zt = lambda a: jnp.concatenate(
+                [a, jnp.zeros((b, pad, hd), a.dtype)], axis=1)
+            return mha_bshd(zt(qq), zt(kk), zt(v), num_heads=num_heads,
+                            sm_scale=sm_scale, kv_len=s,
+                            backend=backend_)[:, :s]
+        return mha_bshd(qq, kk, v, num_heads=num_heads, sm_scale=sm_scale,
+                        backend=backend_)
+
+    if backend == "reference":
+        return unfused("reference")
+    geo = _bshd_group_geometry(hd, num_heads)
+    if geo is None or s % 8 or s * s * 4 > _SCORES_BUDGET:
+        return unfused(backend)
+    if fuse_rms:
+        wq, wk = rms_weights
+    else:
+        wq = wk = jnp.ones((d,), jnp.float32)
+    return _mha_rms_p(q, k, v, wq, wk, num_heads, float(sm_scale), float(eps),
+                      fuse_rms, backend == "pallas_interpret")
