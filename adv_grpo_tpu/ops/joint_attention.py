@@ -9,19 +9,24 @@ a zero tail to a 128-multiple), the flash kernel, and a slice — every one of
 those a full (B, S, H*d) HBM round-trip that XLA cannot fuse into the opaque
 ``pallas_call``.
 
-This kernel removes all of them. The two streams stay separate in HBM and are
-walked as TWO kv blocks of the standard online-softmax loop (the flash
-machinery already handles cross-block renormalisation), so:
+This kernel removes all of them. The two streams stay separate in HBM and
+both kv blocks are visited in a SINGLE pass: the whole (S_q, S_img) and
+(S_q, S_txt) score tiles live in VMEM simultaneously, softmax normalises
+over their joint row max, and the two p·v products accumulate into one f32
+tile. So:
 
   * no concatenated q/k/v is ever materialised,
   * no zero tail / kv-length mask is needed (both blocks are fully valid),
   * the per-stream per-head RMS qk-norm folds into the q/k tile loads
-    (read once from HBM, normalise in VMEM registers, feed the MXU).
-
-Grid: ``(B, head_groups, q_stream, kv_stream)`` — a q-stream's scratch
-survives the two kv iterations; block index maps are constant over the last
-two grid dims, so Pallas fetches each q/k/v tile exactly once per (batch,
-head-group) window.
+    (read once from HBM, normalise in VMEM registers, feed the MXU),
+  * no online-softmax carry state: grid is a flat ``(B, head_groups)`` with
+    every (batch, head-group) window independent — no scratch buffers, no
+    ``alpha`` rescaling passes, no serialized q/kv grid dims. (The first cut
+    of this kernel walked the streams as two sequential kv grid steps with
+    (hpb, S, 128) f32 scratch carries; tunnel-corrected microbenchmarks —
+    scripts/probe_attention.py — measured it at 4.05 ms vs 1.54 ms for the
+    equivalent single-pass single-stream kernel at the production shape, so
+    the carry machinery itself was ~2x the kernel cost.)
 
 Backward composes existing, tested pieces: recompute normalised q/k with the
 fused RMS kernel, run the BSHD flash backward (ops.attention._bshd_bwd) on
@@ -34,9 +39,10 @@ training window, while the fused fwd serves all 10 rollout steps.
 fused qk-RMS, one kv stream.
 
 Numerics: identical op sequence to HeadRMSNorm + mha_bshd (fp32 stats, bf16
-cast before the MXU dot), but the online softmax visits two kv blocks instead
-of one masked whole-tile block, so results differ from the unfused path by
-f32 renormalisation rounding only (tests bound it at ~1e-2 in bf16).
+cast before the MXU dot); the softmax normalises over the joint row max of
+both score tiles — the same single-max softmax the concatenated reference
+computes — so results differ from the unfused path only by the summation
+order of the two l-terms (tests bound it at ~1e-2 in bf16).
 """
 
 from __future__ import annotations
@@ -56,6 +62,8 @@ from adv_grpo_tpu.ops.fused_norms import _rms_reference, rms_norm_heads
 # 1024^2 * 4B = 4MB at the 512^2 production shape.
 _SCORES_BUDGET = 8 * 1024 * 1024
 _PAD_LSE = 1e9  # padded-row lse: exp(s - 1e9) == 0 for any finite score
+_LOG2E = 1.4426950408889634  # softmax in base 2: fold into the q pre-scale
+_LN2 = 0.6931471805599453
 
 
 def _rms_bwd_closed(x, w, dy, num_heads, eps):
@@ -79,89 +87,89 @@ def _rms_bwd_closed(x, w, dy, num_heads, eps):
 def _joint_fwd_kernel(qi_ref, ki_ref, vi_ref, qt_ref, kt_ref, vt_ref,
                       wq_ref, wk_ref,
                       oi_ref, ot_ref, lsei_ref, lset_ref,
-                      mi, li, acci, mt, lt, acct,
                       *, sm_scale, eps, d, hpb, fuse_rms, t_valid):
-    """One (batch, head-group) window; qs/ks grid dims walk the streams.
+    """One (batch, head-group) window: the FULL joint attention, single pass.
+
+    Per subhead, both score tiles — (S_q, S_img) and (S_q, S_txt) — are
+    computed back to back, softmax-normalised over their joint row max, and
+    contracted against the two v tiles into one f32 accumulator. No carry
+    state crosses grid steps.
 
     wq_ref/wk_ref: (2, 128) — row 0 the image-stream weight, row 1 the text
     (``add_*``) weight, each tiled across the group's hpb subheads.
 
     ``t_valid``: None, or the number of REAL text tokens when the text stream
     was zero-padded to an 8-multiple by the wrapper (SD3's 154-token prompt
-    embeds) — padded kv columns are masked to -inf before the online softmax.
+    embeds) — padded kv columns are masked to -inf before the softmax.
     """
-    ks = pl.program_id(3)
 
-    def norm(x, w_ref, stream, i):
-        # per-subhead RMS in fp32 then bf16 cast — the exact HeadRMSNorm
-        # op sequence, so the fused path matches the unfused one bitwise
-        # (before online-softmax renormalisation differences)
-        if not fuse_rms:
-            return x
+    def norm(x, w_ref, stream, i, scale=None):
+        # per-subhead RMS in fp32 then bf16 cast — the HeadRMSNorm op
+        # sequence. Q rows additionally pre-multiply sm_scale*log2(e) here,
+        # on the (S, d) tile, so the softmax runs in base 2 with NO multiply
+        # pass over the 16x larger (S_q, S_kv) score tiles (the splash-kernel
+        # trick; scores-space elementwise passes measured ~45% of the fwd
+        # kernel in scripts/probe_softmax_cost.py).
         xf = x.astype(jnp.float32)
-        m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
-        w = w_ref[stream:stream + 1, i * d:(i + 1) * d].astype(jnp.float32)
-        return ((xf * jax.lax.rsqrt(m2 + eps)) * w).astype(x.dtype)
+        if fuse_rms:
+            m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+            w = w_ref[stream:stream + 1, i * d:(i + 1) * d].astype(jnp.float32)
+            xf = (xf * jax.lax.rsqrt(m2 + eps)) * w
+        elif scale is None:
+            return x
+        if scale is not None:
+            xf = xf * scale
+        return xf.astype(x.dtype)
 
-    def kv_step(q_ref, q_stream, k_ref, v_ref, kv_stream, m_scr, l_scr, acc_scr):
-        q = q_ref[0]
-        k = k_ref[0]
-        v = v_ref[0]
-        for i in range(hpb):
-            qi = norm(q[:, i * d:(i + 1) * d], wq_ref, q_stream, i)
-            ki = norm(k[:, i * d:(i + 1) * d], wk_ref, kv_stream, i)
-            s = jax.lax.dot_general(
-                qi, ki, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * sm_scale
-            if kv_stream == 1 and t_valid is not None:
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col < t_valid, s, -jnp.inf)
-            m_prev = m_scr[i]
-            l_prev = l_scr[i]
-            m_curr = jnp.max(s, axis=1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, :1])
-            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            m_scr[i] = m_next
-            l_scr[i] = l_next
-            pv = jax.lax.dot(p.astype(v.dtype), v[:, i * d:(i + 1) * d],
-                             preferred_element_type=jnp.float32)
-            acc_scr[i] = acc_scr[i] * alpha[:, :1] + pv
+    qscale = sm_scale * _LOG2E
+    q_img = qi_ref[0]
+    k_img = ki_ref[0]
+    v_img = vi_ref[0]
+    q_txt = qt_ref[0]
+    k_txt = kt_ref[0]
+    v_txt = vt_ref[0]
 
-    def store(o_ref, lse_ref, m_scr, l_scr, acc_scr):
-        outs = []
-        for i in range(hpb):
-            l_fin = l_scr[i][:, :1]
-            l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-            outs.append(acc_scr[i] * l_inv)
+    outs_i = []
+    outs_t = []
+    for i in range(hpb):
+        sl = slice(i * d, (i + 1) * d)
+        ki_n = norm(k_img[:, sl], wk_ref, 0, i)
+        kt_n = norm(k_txt[:, sl], wk_ref, 1, i)
+        vi_s = v_img[:, sl]
+        vt_s = v_txt[:, sl]
+
+        for q_full, q_stream, outs, lse_ref in (
+                (q_img, 0, outs_i, lsei_ref), (q_txt, 1, outs_t, lset_ref)):
+            qn = norm(q_full[:, sl], wq_ref, q_stream, i, scale=qscale)
+            # scores are in base-2 space: qn carries sm_scale*log2(e)
+            s1 = jax.lax.dot_general(
+                qn, ki_n, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s2 = jax.lax.dot_general(
+                qn, kt_n, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if t_valid is not None:
+                col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+                s2 = jnp.where(col < t_valid, s2, -jnp.inf)
+            m = jnp.maximum(jnp.max(s1, axis=1, keepdims=True),
+                            jnp.max(s2, axis=1, keepdims=True))
+            p1 = jnp.exp2(s1 - m)
+            p2 = jnp.exp2(s2 - m)
+            l = (jnp.sum(p1, axis=1, keepdims=True)
+                 + jnp.sum(p2, axis=1, keepdims=True))
+            pv = (jax.lax.dot(p1.astype(vi_s.dtype), vi_s,
+                              preferred_element_type=jnp.float32)
+                  + jax.lax.dot(p2.astype(vt_s.dtype), vt_s,
+                                preferred_element_type=jnp.float32))
+            outs.append(pv / l)
             if lse_ref is not None:
-                lse_ref[0, i] = (m_scr[i] + jnp.log(
-                    jnp.maximum(l_scr[i], 1e-37)))[:, :LSE_LANES]
-        o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+                # natural-log lse for the backward: ln(sum e^s) = ln2 * lse2
+                lse_ref[0, i] = jnp.broadcast_to(
+                    (m + jnp.log2(jnp.maximum(l, 1e-37))) * _LN2,
+                    (qn.shape[0], LSE_LANES))
 
-    def q_stream_body(q_ref, q_stream, m_scr, l_scr, acc_scr, o_ref, lse_ref):
-        @pl.when(ks == 0)
-        def _img_kv():
-            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-            l_scr[...] = jnp.zeros_like(l_scr)
-            acc_scr[...] = jnp.zeros_like(acc_scr)
-            kv_step(q_ref, q_stream, ki_ref, vi_ref, 0, m_scr, l_scr, acc_scr)
-
-        @pl.when(ks == 1)
-        def _txt_kv():
-            kv_step(q_ref, q_stream, kt_ref, vt_ref, 1, m_scr, l_scr, acc_scr)
-            store(o_ref, lse_ref, m_scr, l_scr, acc_scr)
-
-    qs = pl.program_id(2)
-
-    @pl.when(qs == 0)
-    def _img_q():
-        q_stream_body(qi_ref, 0, mi, li, acci, oi_ref, lsei_ref)
-
-    @pl.when(qs == 1)
-    def _txt_q():
-        q_stream_body(qt_ref, 1, mt, lt, acct, ot_ref, lset_ref)
+    oi_ref[0] = jnp.concatenate(outs_i, axis=1).astype(oi_ref.dtype)
+    ot_ref[0] = jnp.concatenate(outs_t, axis=1).astype(ot_ref.dtype)
 
 
 def _joint_fwd(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2, num_heads, sm_scale,
@@ -170,35 +178,33 @@ def _joint_fwd(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2, num_heads, sm_scale,
     s_t = q_t.shape[1]
     d, hpb = _bshd_group_geometry(hd, num_heads)
     ngroups = num_heads // hpb
-    grid = (b, ngroups, 2, 2)
+    grid = (b, ngroups)
 
     kernel = functools.partial(
         _joint_fwd_kernel, sm_scale=sm_scale, eps=eps, d=d, hpb=hpb,
         fuse_rms=fuse_rms, t_valid=t_valid)
     if not save_residuals:
         kernel = functools.partial(
-            lambda qi_, ki_, vi_, qt_, kt_, vt_, wq_, wk_, oi_, ot_, mi, li,
-            ai, mt, lt, at, kern=None: kern(
-                qi_, ki_, vi_, qt_, kt_, vt_, wq_, wk_, oi_, ot_, None, None,
-                mi, li, ai, mt, lt, at),
+            lambda qi_, ki_, vi_, qt_, kt_, vt_, wq_, wk_, oi_, ot_,
+            kern=None: kern(
+                qi_, ki_, vi_, qt_, kt_, vt_, wq_, wk_, oi_, ot_, None, None),
             kern=kernel)
 
-    # index maps constant over (qs, ks): each tile is DMA'd once per (b, g)
-    img_spec = pl.BlockSpec((1, s_i, 128), lambda b_, g_, qs_, ks_: (b_, 0, g_),
+    img_spec = pl.BlockSpec((1, s_i, 128), lambda b_, g_: (b_, 0, g_),
                             memory_space=pltpu.VMEM)
-    txt_spec = pl.BlockSpec((1, s_t, 128), lambda b_, g_, qs_, ks_: (b_, 0, g_),
+    txt_spec = pl.BlockSpec((1, s_t, 128), lambda b_, g_: (b_, 0, g_),
                             memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((2, 128), lambda b_, g_, qs_, ks_: (0, 0),
+    w_spec = pl.BlockSpec((2, 128), lambda b_, g_: (0, 0),
                           memory_space=pltpu.VMEM)
     out_specs = [img_spec, txt_spec]
     out_shape = [jax.ShapeDtypeStruct((b, s_i, hd), q_i.dtype),
                  jax.ShapeDtypeStruct((b, s_t, hd), q_t.dtype)]
     if save_residuals:
         lse_i_spec = pl.BlockSpec(
-            (1, hpb, s_i, LSE_LANES), lambda b_, g_, qs_, ks_: (b_, g_, 0, 0),
+            (1, hpb, s_i, LSE_LANES), lambda b_, g_: (b_, g_, 0, 0),
             memory_space=pltpu.VMEM)
         lse_t_spec = pl.BlockSpec(
-            (1, hpb, s_t, LSE_LANES), lambda b_, g_, qs_, ks_: (b_, g_, 0, 0),
+            (1, hpb, s_t, LSE_LANES), lambda b_, g_: (b_, g_, 0, 0),
             memory_space=pltpu.VMEM)
         out_specs += [lse_i_spec, lse_t_spec]
         out_shape += [
@@ -212,17 +218,8 @@ def _joint_fwd(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2, num_heads, sm_scale,
                   w_spec, w_spec],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((hpb, s_i, 128), jnp.float32),
-            pltpu.VMEM((hpb, s_i, 128), jnp.float32),
-            pltpu.VMEM((hpb, s_i, d), jnp.float32),
-            pltpu.VMEM((hpb, s_t, 128), jnp.float32),
-            pltpu.VMEM((hpb, s_t, 128), jnp.float32),
-            pltpu.VMEM((hpb, s_t, d), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary",
-                                 "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2)
@@ -387,7 +384,9 @@ def joint_mha(q_img, k_img, v_img, q_txt, k_txt, v_txt, *, num_heads,
     # geometry / VMEM guards -> unfused composition fallback (identical
     # semantics, the round-2 path)
     geo = _bshd_group_geometry(hd, num_heads)
-    scores_bytes = max(s_i, s_t) * max(s_i, s_t) * 4
+    # single-pass kernel: both score tiles (S_q, S_img) + (S_q, S_txt) are
+    # live at once for the widest q stream
+    scores_bytes = max(s_i, s_t) * (s_i + s_t) * 4
     if geo is None or s_i % 8 or scores_bytes > _SCORES_BUDGET:
         if fuse_rms:
             wq_i, wk_i, wq_t, wk_t = rms_weights
@@ -448,26 +447,36 @@ def _single_fwd_kernel(q_ref, k_ref, v_ref, wq_ref, wk_ref, o_ref, lse_ref,
     for i in range(hpb):
         qi = q[:, i * d:(i + 1) * d]
         ki = k[:, i * d:(i + 1) * d]
-        if fuse_rms:
-            def norm(x, w_ref):
-                xf = x.astype(jnp.float32)
+
+        def norm(x, w_ref, scale=None):
+            # q rows pre-multiply sm_scale*log2(e) on the (S, d) tile so the
+            # softmax runs in base 2 with no multiply pass over the scores
+            xf = x.astype(jnp.float32)
+            if fuse_rms:
                 m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
                 w = w_ref[0:1, i * d:(i + 1) * d].astype(jnp.float32)
-                return ((xf * jax.lax.rsqrt(m2 + eps)) * w).astype(x.dtype)
-            qi = norm(qi, wq_ref)
-            ki = norm(ki, wk_ref)
+                xf = (xf * jax.lax.rsqrt(m2 + eps)) * w
+            elif scale is None:
+                return x
+            if scale is not None:
+                xf = xf * scale
+            return xf.astype(x.dtype)
+
+        qi = norm(qi, wq_ref, scale=sm_scale * _LOG2E)
+        ki = norm(ki, wk_ref)
         s = jax.lax.dot_general(
             qi, ki, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
+            preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot(p.astype(v.dtype), v[:, i * d:(i + 1) * d],
                          preferred_element_type=jnp.float32)
         outs.append(pv / l)
         if lse_ref is not None:
             lse_ref[0, i] = jnp.broadcast_to(
-                m + jnp.log(jnp.maximum(l, 1e-37)), (q.shape[0], LSE_LANES))
+                (m + jnp.log2(jnp.maximum(l, 1e-37))) * _LN2,
+                (q.shape[0], LSE_LANES))
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
     del m_scr, l_scr, acc_scr  # single kv block: no cross-block state needed
 
