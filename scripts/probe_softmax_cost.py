@@ -15,6 +15,14 @@ geometry: grid (B, G), hpb subheads per 128-lane group) in four variants:
               BUT the transcendental
   matmul      p = s (no softmax at all) — the pure MXU floor
 
+CAVEAT (post-hoc): the original REPS=20 run of this probe was dominated
+by the ~30 ms/call axon tunnel dispatch floor (see
+probe_launch_overhead.py), which made all variants look equal (~3.2-3.5
+ms) and softmax look free. At REPS=500 the floor amortises out and the
+softmax VPU passes are ~45% of the whole-tile kernel (matmul-only 0.84
+ms vs full 1.53 ms at S=1024) - which motivated folding sm_scale*log2e
+into the q tile and running the softmax in base 2 (joint_attention.py).
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_softmax_cost.py
 """
 
@@ -32,7 +40,7 @@ B, H, D = 16, 24, 64
 S = 1024
 HD = H * D
 HPB = 128 // D
-REPS = 20
+REPS = 500
 FLOPS = 4.0 * B * H * S * S * D
 LOG2E = 1.4426950408889634
 

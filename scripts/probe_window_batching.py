@@ -10,6 +10,12 @@ window (grid (B, G/gpw), block lane-width 128*gpw) for gpw in {1, 2, 3, 6,
 12}, in matmul-only and full-softmax modes, plus a copy-only kernel as the
 pure-overhead floor.
 
+CAVEAT (post-hoc): the fixed ~1.4 ms 'copy floor' this probe chased is
+the axon tunnel's ~30 ms/call host dispatch cost divided by REPS=20, not
+per-window overhead (see probe_launch_overhead.py). At REPS=500 the
+copy kernel costs ~0 and the matmul body runs near the d=64 MXU floor;
+window batching is (correctly) a no-op.
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_window_batching.py
 """
 
@@ -28,7 +34,7 @@ S = 1024
 HD = H * D
 HPB = 128 // D
 NG = H // HPB  # 12 groups of 128 lanes
-REPS = 20
+REPS = 500
 FLOPS = 4.0 * B * H * S * S * D
 
 
