@@ -220,6 +220,10 @@ def _joint_fwd(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2, num_heads, sm_scale,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            # both whole-tile score matrices + their exp2 images live at once;
+            # with the lse residual outputs (training jvp) that peaks ~18MB,
+            # past Mosaic's 16MB default scoped-vmem limit (v5e VMEM is 128MB)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2)
@@ -519,6 +523,7 @@ def _single_fwd(q, k, v, wq2, wk2, num_heads, sm_scale, eps, fuse_rms,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(q, k, v, wq2, wk2)
