@@ -479,6 +479,100 @@ def _bshd_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
                                     axis=1).astype(dq_ref.dtype)
 
 
+_LOG2E = 1.4426950408889634
+
+# fused single-pass bwd: s/p/dp/ds score-space tiles live at once per subhead
+_SCORES_VMEM_BUDGET_BWD_FUSED = 8 * 1024 * 1024
+
+
+def _bshd_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                           dq_ref, dk_ref, dv_ref, *, sm_scale, kv_len, d,
+                           hpb):
+    """Whole-tile fused backward: dq, dk, dv in ONE pass; grid (B, G).
+
+    The split dkv/dq kernels each recompute s, p (and dp in the dq kernel) —
+    7 scores-sized matmuls total vs the 5 a flash backward needs. Whole-tile
+    mode has no kv/q blocking conflict (dkv wants a kv-major grid, dq a
+    q-major one), so one grid cell per (batch, head-group) computes p once
+    and feeds all three cotangent contractions. Score-space elementwise work
+    is minimised the same way as the fused fwd: q pre-multiplies
+    sm_scale*log2(e) on the (S, d) tile so p = exp2(s2 - lse2), and the
+    trailing *sm_scale of ds folds into the (S, d) q/k operands of the dk/dq
+    dots instead of a pass over the (S, S) tile.
+    """
+    q = q_ref[0]  # (sq, hpb*d)
+    k = k_ref[0]  # (skv, hpb*d)
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    dqs, dks, dvs = [], [], []
+    for i in range(hpb):
+        sl = slice(i * d, (i + 1) * d)
+        qi = q[:, sl]
+        ki = k[:, sl]
+        vi = v[:, sl]
+        doi = do[:, sl]
+        lse2 = lse_ref[0, i][:, :1] * _LOG2E  # (sq, 1), base-2 row lse
+        di = di_ref[0, i][:, :1]
+        qi2 = (qi.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(qi.dtype)
+        s2 = jax.lax.dot_general(
+            qi2, ki, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (sq, skv), base-2 scores
+        if kv_len is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+            s2 = jnp.where(col < kv_len, s2, -jnp.inf)
+        p = jnp.exp2(s2 - lse2)  # padded q rows: lse2 huge -> p == 0
+        dv_i = jax.lax.dot_general(
+            p, doi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            doi, vi.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t = p * (dp - di)  # ds without the *sm_scale (folded into q/k below)
+        tb = t.astype(q.dtype)
+        dk_i = jax.lax.dot_general(
+            tb, (qi.astype(jnp.float32) * sm_scale).astype(q.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dq_i = jax.lax.dot(
+            tb, (ki.astype(jnp.float32) * sm_scale).astype(k.dtype),
+            preferred_element_type=jnp.float32)
+        dqs.append(dq_i)
+        dks.append(dk_i)
+        dvs.append(dv_i)
+    dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.concatenate(dks, axis=1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
+
+
+def _bshd_bwd_fused(q, k, v, do, lse, di, sm_scale, kv_len, interpret,
+                    num_heads, d, hpb):
+    b, sq, hd = q.shape
+    skv = k.shape[1]
+    ngroups = num_heads // hpb
+    qspec = pl.BlockSpec((1, sq, 128), lambda b_, g_: (b_, 0, g_),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, skv, 128), lambda b_, g_: (b_, 0, g_),
+                         memory_space=pltpu.VMEM)
+    statspec = pl.BlockSpec((1, hpb, sq, LSE_LANES),
+                            lambda b_, g_: (b_, g_, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bshd_bwd_fused_kernel, sm_scale=sm_scale,
+                          kv_len=kv_len, d=d, hpb=hpb),
+        grid=(b, ngroups),
+        in_specs=[qspec, kspec, kspec, qspec, statspec, statspec],
+        out_specs=[qspec, kspec, kspec],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            # ~4 score-space f32 tiles live per subhead (26MB at the 1280
+            # production shape) — past Mosaic's 16MB default (v5e VMEM: 128MB)
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, di)
+
+
 def _bshd_group_geometry(hd: int, num_heads: int):
     d = hd // num_heads
     if d > 128 or 128 % d or hd % 128:
@@ -543,14 +637,20 @@ def _bshd_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv,
     b, sq, hd = q.shape
     d, hpb = _bshd_group_geometry(hd, num_heads)
     skv = k.shape[1]
-    bq, bkv = _pick_qkv_blocks(sq, skv, block_q, block_kv,
-                               budget=_SCORES_VMEM_BUDGET_BWD // hpb)
     ngroups = num_heads // hpb
     # di = sum_d(o * do) per (b, head, row): tiny (B, S, H) reduce + transpose
     di = jnp.sum((o.astype(jnp.float32) * do.astype(jnp.float32))
                  .reshape(b, sq, num_heads, d), axis=-1)
     di = jnp.broadcast_to(di.transpose(0, 2, 1)[..., None],
                           (b, num_heads, sq, LSE_LANES))
+
+    if (block_q is None and block_kv is None
+            and sq * skv * 4 <= _SCORES_VMEM_BUDGET_BWD_FUSED):
+        return _bshd_bwd_fused(q, k, v, do, lse, di, sm_scale, kv_len,
+                               interpret, num_heads, d, hpb)
+
+    bq, bkv = _pick_qkv_blocks(sq, skv, block_q, block_kv,
+                               budget=_SCORES_VMEM_BUDGET_BWD // hpb)
 
     qspec = pl.BlockSpec((1, bq, 128), lambda b_, g_, ki, qi: (b_, qi, g_),
                          memory_space=pltpu.VMEM)

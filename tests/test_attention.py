@@ -86,6 +86,28 @@ class TestFlashAttentionBSHD:
                                        np.asarray(to3(b)[:, :KV_LEN]),
                                        atol=2e-2)
 
+    def test_backward_parity_fused_whole_tile(self):
+        # default (None) block sizes at a small shape -> the single-pass
+        # fused bwd kernel (dq/dk/dv in one grid cell), incl. the kv mask
+        q3, k3, v3, (q, k, v) = self._qkv_bshd()
+
+        def loss_pal(q3, k3, v3):
+            o = mha_bshd(q3, k3, v3, num_heads=H, kv_len=KV_LEN,
+                         backend="pallas_interpret")
+            return jnp.sum(o[:, :KV_LEN] ** 2)
+
+        def loss_ref(q, k, v):
+            o = attention_reference(q, k, v, sm_scale=D**-0.5, kv_len=KV_LEN)
+            return jnp.sum(o[:, :, :KV_LEN] ** 2)
+
+        gp = jax.grad(loss_pal, (0, 1, 2))(q3, k3, v3)
+        gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+        to3 = lambda a: a.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a[:, :KV_LEN]),
+                                       np.asarray(to3(b)[:, :KV_LEN]),
+                                       atol=2e-2)
+
     def test_reference_backend_matches_bhsd(self):
         q3, k3, v3, (q, k, v) = self._qkv_bshd()
         o3 = mha_bshd(q3, k3, v3, num_heads=H, kv_len=KV_LEN,
