@@ -28,12 +28,12 @@ tile. So:
     equivalent single-pass single-stream kernel at the production shape, so
     the carry machinery itself was ~2x the kernel cost.)
 
-Backward composes existing, tested pieces: recompute normalised q/k with the
-fused RMS kernel, run the BSHD flash backward (ops.attention._bshd_bwd) on
-the concatenated layout, split, and push gradients through the RMS closed
-form (same math as ops.fused_norms._rms_heads_p_bwd). The concat cost in bwd
-is the price the unfused path paid in fwd — and bwd only runs on the 2-step
-training window, while the fused fwd serves all 10 rollout steps.
+Backward is fused the same way (_joint_bwd_kernel): one grid cell per
+(batch, head-group) recomputes the per-stream qk-RMS on (S, d) tiles in
+registers, computes each score-space tensor (s, p, dp, ds) ONCE, and emits
+all six cotangents (dyq/dyk/dv per stream) — no q/k/v/o/do concats, no
+128-pad, no separate RMS kernel launches. The RMS input gradients go through
+the closed form outside (same math as ops.fused_norms._rms_heads_p_bwd).
 
 ``mha_rms`` is the single-stream variant (SD3.5's dual self-attention): same
 fused qk-RMS, one kv stream.
@@ -232,6 +232,173 @@ def _joint_fwd(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2, num_heads, sm_scale,
     return outs[0], outs[1], None, None
 
 
+# ───────────────────────── fused two-stream backward ─────────────────────────
+
+
+def _joint_bwd_kernel(qi_ref, ki_ref, vi_ref, qt_ref, kt_ref, vt_ref,
+                      wq_ref, wk_ref, doi_ref, dot_ref,
+                      lsei_ref, lset_ref, dii_ref, dit_ref,
+                      dyqi_ref, dyki_ref, dvi_ref, dyqt_ref, dykt_ref,
+                      dvt_ref, *, sm_scale, eps, d, hpb, fuse_rms, t_valid):
+    """One (batch, head-group) window: the FULL joint backward, single pass.
+
+    Mirrors _joint_fwd_kernel: the streams stay separate in HBM (no q/k/v/o/do
+    concats, no 128-pad, no _PAD_LSE guard rows), the per-stream qk-RMS is
+    recomputed on the (S, d) tiles in registers, and every score-space tensor
+    (s, p, dp, ds) is computed ONCE and feeds all three cotangent
+    contractions. Outputs are gradients wrt the NORMALISED q/k (dyq/dyk — the
+    wrapper pushes them through the closed-form RMS backward) and v.
+
+    Scale folding as in the fused single-stream bwd: q pre-multiplies
+    sm_scale*log2(e) so p = exp2(s2 - lse2), and ds's trailing *sm_scale
+    folds into the (S, d) q/k operands of the dk/dq dots.
+    """
+
+    def norm(x, w_ref, stream, i):
+        xf = x.astype(jnp.float32)
+        if not fuse_rms:
+            return xf
+        m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+        w = w_ref[stream:stream + 1, i * d:(i + 1) * d].astype(jnp.float32)
+        return (xf * jax.lax.rsqrt(m2 + eps)) * w
+
+    q_img = qi_ref[0]
+    k_img = ki_ref[0]
+    v_img = vi_ref[0]
+    q_txt = qt_ref[0]
+    k_txt = kt_ref[0]
+    v_txt = vt_ref[0]
+    do_img = doi_ref[0]
+    do_txt = dot_ref[0]
+    dt = q_img.dtype
+
+    dyq_i, dyk_i, dv_i = [], [], []
+    dyq_t, dyk_t, dv_t = [], [], []
+    for i in range(hpb):
+        sl = slice(i * d, (i + 1) * d)
+        yki = norm(k_img[:, sl], wk_ref, 0, i).astype(dt)
+        ykt = norm(k_txt[:, sl], wk_ref, 1, i).astype(dt)
+        vi_s = v_img[:, sl]
+        vt_s = v_txt[:, sl]
+
+        dki_acc = None
+        dkt_acc = None
+        for q_full, do_full, lse_ref, di_ref, stream, dyqs, dvs_pair in (
+                (q_img, do_img, lsei_ref, dii_ref, 0, dyq_i, (dv_i, dv_t)),
+                (q_txt, do_txt, lset_ref, dit_ref, 1, dyq_t, None)):
+            yq = norm(q_full[:, sl], wq_ref, stream, i)  # (S_q, d) f32
+            qs2 = (yq * (sm_scale * _LOG2E)).astype(dt)
+            yq_s = (yq * sm_scale).astype(dt)
+            do_q = do_full[:, sl].astype(jnp.float32)
+            lse2 = lse_ref[0, i][:, :1] * _LOG2E
+            di = di_ref[0, i][:, :1]
+
+            s1 = jax.lax.dot_general(
+                qs2, yki, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s2 = jax.lax.dot_general(
+                qs2, ykt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if t_valid is not None:
+                col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+                s2 = jnp.where(col < t_valid, s2, -jnp.inf)
+            p1 = jnp.exp2(s1 - lse2)
+            p2 = jnp.exp2(s2 - lse2)
+
+            do_qb = do_q.astype(dt)
+            dv1 = jax.lax.dot_general(
+                p1.astype(dt), do_qb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv2 = jax.lax.dot_general(
+                p2.astype(dt), do_qb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp1 = jax.lax.dot_general(
+                do_qb, vi_s, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp2 = jax.lax.dot_general(
+                do_qb, vt_s, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t1 = (p1 * (dp1 - di)).astype(dt)
+            t2 = (p2 * (dp2 - di)).astype(dt)
+
+            dk1 = jax.lax.dot_general(
+                t1, yq_s, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk2 = jax.lax.dot_general(
+                t2, yq_s, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dyq = (jax.lax.dot(t1, (yki.astype(jnp.float32) * sm_scale)
+                               .astype(dt),
+                               preferred_element_type=jnp.float32)
+                   + jax.lax.dot(t2, (ykt.astype(jnp.float32) * sm_scale)
+                                 .astype(dt),
+                                 preferred_element_type=jnp.float32))
+            dyqs.append(dyq)
+            if stream == 0:
+                dki_acc, dkt_acc = dk1, dk2
+                dvi_a, dvt_a = dv1, dv2
+            else:
+                dki_acc = dki_acc + dk1
+                dkt_acc = dkt_acc + dk2
+                dvi_a = dvi_a + dv1
+                dvt_a = dvt_a + dv2
+        dyk_i.append(dki_acc)
+        dyk_t.append(dkt_acc)
+        dv_i.append(dvi_a)
+        dv_t.append(dvt_a)
+
+    dyqi_ref[0] = jnp.concatenate(dyq_i, axis=1).astype(dyqi_ref.dtype)
+    dyki_ref[0] = jnp.concatenate(dyk_i, axis=1).astype(dyki_ref.dtype)
+    dvi_ref[0] = jnp.concatenate(dv_i, axis=1).astype(dvi_ref.dtype)
+    dyqt_ref[0] = jnp.concatenate(dyq_t, axis=1).astype(dyqt_ref.dtype)
+    dykt_ref[0] = jnp.concatenate(dyk_t, axis=1).astype(dykt_ref.dtype)
+    dvt_ref[0] = jnp.concatenate(dv_t, axis=1).astype(dvt_ref.dtype)
+
+
+def _joint_bwd_fused(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2, do_i, do_t,
+                     lse_i, lse_t, di_i, di_t, num_heads, sm_scale, eps,
+                     fuse_rms, interpret, t_valid):
+    b, s_i, hd = q_i.shape
+    s_t = q_t.shape[1]
+    d, hpb = _bshd_group_geometry(hd, num_heads)
+    ngroups = num_heads // hpb
+    img_spec = pl.BlockSpec((1, s_i, 128), lambda b_, g_: (b_, 0, g_),
+                            memory_space=pltpu.VMEM)
+    txt_spec = pl.BlockSpec((1, s_t, 128), lambda b_, g_: (b_, 0, g_),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((2, 128), lambda b_, g_: (0, 0),
+                          memory_space=pltpu.VMEM)
+    stat_i = pl.BlockSpec((1, hpb, s_i, LSE_LANES),
+                          lambda b_, g_: (b_, g_, 0, 0),
+                          memory_space=pltpu.VMEM)
+    stat_t = pl.BlockSpec((1, hpb, s_t, LSE_LANES),
+                          lambda b_, g_: (b_, g_, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_joint_bwd_kernel, sm_scale=sm_scale, eps=eps, d=d,
+                          hpb=hpb, fuse_rms=fuse_rms, t_valid=t_valid),
+        grid=(b, ngroups),
+        in_specs=[img_spec, img_spec, img_spec, txt_spec, txt_spec, txt_spec,
+                  w_spec, w_spec, img_spec, txt_spec, stat_i, stat_t, stat_i,
+                  stat_t],
+        out_specs=[img_spec, img_spec, img_spec, txt_spec, txt_spec, txt_spec],
+        out_shape=[jax.ShapeDtypeStruct(q_i.shape, q_i.dtype),
+                   jax.ShapeDtypeStruct(k_i.shape, k_i.dtype),
+                   jax.ShapeDtypeStruct(v_i.shape, v_i.dtype),
+                   jax.ShapeDtypeStruct(q_t.shape, q_t.dtype),
+                   jax.ShapeDtypeStruct(k_t.shape, k_t.dtype),
+                   jax.ShapeDtypeStruct(v_t.shape, v_t.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            # ~4 score-space f32 tensors live per (stream, subhead) — ~25MB
+            # at the 1024+160 production shape (v5e VMEM is 128MB)
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2, do_i, do_t, lse_i, lse_t,
+      di_i, di_t)
+
+
 # ──────────────────────── custom VJP (joint, 2-stream) ────────────────────────
 
 
@@ -278,59 +445,37 @@ def _joint_mha_p_fwd(q_i, k_i, v_i, q_t, k_t, v_t, wq_i, wk_i, wq_t, wk_t,
 
 def _joint_mha_p_bwd(num_heads, sm_scale, eps, fuse_rms, interpret, t_valid,
                      res, cot):
-    # ``t_valid`` is fwd-only: the wrapper zero-pads the text stream, so the
-    # padded kv columns carry k=v=0 here — they contribute nothing to dq
-    # (0-valued k), and their dk/dv rows are sliced off by the wrapper's pad
-    # transpose. No masking needed in the backward.
+    # Fused two-stream backward: no q/k/v/o/do concats, no 128-pad, no
+    # _PAD_LSE guard rows, and the qk-RMS recompute happens in-kernel on the
+    # (S, d) tiles (the wrapper already guaranteed the whole-tile geometry
+    # before taking the kernel path in fwd). ``t_valid`` masks the text kv
+    # columns the wrapper zero-padded to an 8-multiple; their t2 columns are
+    # 0 so the padded dk/dv rows the wrapper slices off stay 0.
     (q_i, k_i, v_i, q_t, k_t, v_t, wq_i, wk_i, wq_t, wk_t,
      o_i, o_t, lse_i_small, lse_t_small) = res
     do_i, do_t = cot
     b, s_i, hd = q_i.shape
     s_t = q_t.shape[1]
-    s_tot = s_i + s_t
-    pad = (-s_tot) % 128
-    backend = "pallas_interpret" if interpret else "pallas"
+    d = hd // num_heads
+    hpb = 128 // d
+    wq2 = _tile_w2(wq_i, wq_t, hpb)
+    wk2 = _tile_w2(wk_i, wk_t, hpb)
 
-    if fuse_rms:
-        yq_i = rms_norm_heads(q_i, wq_i, num_heads=num_heads, eps=eps,
-                              backend=backend)
-        yk_i = rms_norm_heads(k_i, wk_i, num_heads=num_heads, eps=eps,
-                              backend=backend)
-        yq_t = rms_norm_heads(q_t, wq_t, num_heads=num_heads, eps=eps,
-                              backend=backend)
-        yk_t = rms_norm_heads(k_t, wk_t, num_heads=num_heads, eps=eps,
-                              backend=backend)
-    else:
-        yq_i, yk_i, yq_t, yk_t = q_i, k_i, q_t, k_t
+    def stats(o, do, lse_small, s):
+        di = jnp.sum((o.astype(jnp.float32) * do.astype(jnp.float32))
+                     .reshape(b, s, num_heads, d), axis=-1)
+        di = jnp.broadcast_to(di.transpose(0, 2, 1)[..., None],
+                              (b, num_heads, s, LSE_LANES))
+        lse = jnp.broadcast_to(lse_small[..., None],
+                               lse_small.shape + (LSE_LANES,))
+        return lse, di
 
-    def cat(a, b_, fill=0.0):
-        parts = [a, b_]
-        if pad:
-            parts.append(jnp.full((a.shape[0], pad, a.shape[2]), fill,
-                                  a.dtype))
-        return jnp.concatenate(parts, axis=1)
+    lse_i, di_i = stats(o_i, do_i, lse_i_small, s_i)
+    lse_t, di_t = stats(o_t, do_t, lse_t_small, s_t)
 
-    qj = cat(yq_i, yq_t)
-    kj = cat(yk_i, yk_t)
-    vj = cat(v_i, v_t)
-    oj = cat(o_i, o_t)
-    doj = cat(do_i, do_t)
-    # lse layout (B, H, S, LSE_LANES); padded q rows get a huge lse so
-    # p = exp(s - lse) underflows to 0 (their do is 0 already — this guards
-    # the p*(dp-di) NaN path, not correctness of real rows)
-    lse_parts = [jnp.broadcast_to(a[..., None], a.shape + (LSE_LANES,))
-                 for a in (lse_i_small, lse_t_small)]
-    if pad:
-        lse_parts.append(jnp.full((b, num_heads, pad, LSE_LANES), _PAD_LSE,
-                                  jnp.float32))
-    lsej = jnp.concatenate(lse_parts, axis=2)
-
-    dqj, dkj, dvj = _bshd_bwd(qj, kj, vj, oj, lsej, doj, sm_scale,
-                              s_tot if pad else None, None, None, interpret,
-                              num_heads)
-    dyq_i, dyq_t = dqj[:, :s_i], dqj[:, s_i:s_tot]
-    dyk_i, dyk_t = dkj[:, :s_i], dkj[:, s_i:s_tot]
-    dv_i, dv_t = dvj[:, :s_i], dvj[:, s_i:s_tot]
+    dyq_i, dyk_i, dv_i, dyq_t, dyk_t, dv_t = _joint_bwd_fused(
+        q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2, do_i, do_t, lse_i, lse_t,
+        di_i, di_t, num_heads, sm_scale, eps, fuse_rms, interpret, t_valid)
 
     if fuse_rms:
         dq_i, dwq_i = _rms_bwd_closed(q_i, wq_i, dyq_i, num_heads, eps)
