@@ -55,7 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from adv_grpo_tpu.ops.attention import (
-    LSE_LANES, _bshd_bwd, _bshd_group_geometry, attention_reference, mha_bshd)
+    LSE_LANES, _bshd_group_geometry, attention_reference, mha_bshd)
 from adv_grpo_tpu.ops.fused_norms import _rms_reference, rms_norm_heads
 
 # whole-tile f32 scores budget: (S_q, S_kv) per subhead live in VMEM.
@@ -399,6 +399,90 @@ def _joint_bwd_fused(q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2, do_i, do_t,
       di_i, di_t)
 
 
+def _single_bwd_kernel(q_ref, k_ref, v_ref, wq_ref, wk_ref, do_ref, lse_ref,
+                       di_ref, dyq_ref, dyk_ref, dv_ref, *, sm_scale, eps, d,
+                       hpb, fuse_rms):
+    """Single-stream fused backward w/ in-kernel qk-RMS recompute; grid (B, G).
+
+    The whole-tile geometry (no kv mask — the wrapper falls back for
+    unaligned S) makes this the _joint_bwd_kernel specialised to one stream.
+    """
+
+    def norm(x, w_ref, i):
+        xf = x.astype(jnp.float32)
+        if not fuse_rms:
+            return xf
+        m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+        w = w_ref[0:1, i * d:(i + 1) * d].astype(jnp.float32)
+        return (xf * jax.lax.rsqrt(m2 + eps)) * w
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    dt = q.dtype
+    dyqs, dyks, dvs = [], [], []
+    for i in range(hpb):
+        sl = slice(i * d, (i + 1) * d)
+        yk = norm(k[:, sl], wk_ref, i)
+        yq = norm(q[:, sl], wq_ref, i)
+        qs2 = (yq * (sm_scale * _LOG2E)).astype(dt)
+        ykb = yk.astype(dt)
+        do_q = do[:, sl].astype(jnp.float32)
+        lse2 = lse_ref[0, i][:, :1] * _LOG2E
+        di = di_ref[0, i][:, :1]
+        s = jax.lax.dot_general(
+            qs2, ykb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = jnp.exp2(s - lse2)
+        do_qb = do_q.astype(dt)
+        dv_i = jax.lax.dot_general(
+            p.astype(dt), do_qb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do_qb, v[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t = (p * (dp - di)).astype(dt)
+        dyks.append(jax.lax.dot_general(
+            t, (yq * sm_scale).astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dyqs.append(jax.lax.dot(
+            t, (yk * sm_scale).astype(dt),
+            preferred_element_type=jnp.float32))
+        dvs.append(dv_i)
+    dyq_ref[0] = jnp.concatenate(dyqs, axis=1).astype(dyq_ref.dtype)
+    dyk_ref[0] = jnp.concatenate(dyks, axis=1).astype(dyk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
+
+
+def _single_bwd_fused(q, k, v, wq2, wk2, do, lse, di, num_heads, sm_scale,
+                      eps, fuse_rms, interpret):
+    b, s, hd = q.shape
+    d, hpb = _bshd_group_geometry(hd, num_heads)
+    ngroups = num_heads // hpb
+    spec = pl.BlockSpec((1, s, 128), lambda b_, g_: (b_, 0, g_),
+                        memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 128), lambda b_, g_: (0, 0),
+                          memory_space=pltpu.VMEM)
+    stat = pl.BlockSpec((1, hpb, s, LSE_LANES), lambda b_, g_: (b_, g_, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_single_bwd_kernel, sm_scale=sm_scale, eps=eps, d=d,
+                          hpb=hpb, fuse_rms=fuse_rms),
+        grid=(b, ngroups),
+        in_specs=[spec, spec, spec, w_spec, w_spec, spec, stat, stat],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, k, v, wq2, wk2, do, lse, di)
+
+
 # ──────────────────────── custom VJP (joint, 2-stream) ────────────────────────
 
 
@@ -702,16 +786,22 @@ def _mha_rms_p_fwd(q, k, v, wq, wk, num_heads, sm_scale, eps, fuse_rms,
 
 
 def _mha_rms_p_bwd(num_heads, sm_scale, eps, fuse_rms, interpret, res, do):
+    # fused single-pass backward: qk-RMS recomputed in-kernel, no separate
+    # normalised-q/k HBM materialisation, s/p/dp computed once
     q, k, v, wq, wk, o, lse_small = res
-    backend = "pallas_interpret" if interpret else "pallas"
-    if fuse_rms:
-        yq = rms_norm_heads(q, wq, num_heads=num_heads, eps=eps, backend=backend)
-        yk = rms_norm_heads(k, wk, num_heads=num_heads, eps=eps, backend=backend)
-    else:
-        yq, yk = q, k
+    b, s, hd = q.shape
+    d = hd // num_heads
+    hpb = 128 // d
+    wq2 = jnp.tile(wq.astype(jnp.float32), hpb)[None]
+    wk2 = jnp.tile(wk.astype(jnp.float32), hpb)[None]
+    di = jnp.sum((o.astype(jnp.float32) * do.astype(jnp.float32))
+                 .reshape(b, s, num_heads, d), axis=-1)
+    di = jnp.broadcast_to(di.transpose(0, 2, 1)[..., None],
+                          (b, num_heads, s, LSE_LANES))
     lse = jnp.broadcast_to(lse_small[..., None], lse_small.shape + (LSE_LANES,))
-    dyq, dyk, dv = _bshd_bwd(yq, yk, v, o, lse, do, sm_scale, None, None, None,
-                             interpret, num_heads)
+    dyq, dyk, dv = _single_bwd_fused(q, k, v, wq2, wk2, do, lse, di,
+                                     num_heads, sm_scale, eps, fuse_rms,
+                                     interpret)
     if fuse_rms:
         dq, dwq = _rms_bwd_closed(q, wq, dyq, num_heads, eps)
         dk, dwk = _rms_bwd_closed(k, wk, dyk, num_heads, eps)
