@@ -581,6 +581,24 @@ def _bshd_group_geometry(hd: int, num_heads: int):
     return d, hpb
 
 
+def bwd_row_stats(o, do, lse_small, num_heads):
+    """(lse, di) residuals in the (B, H, S, LSE_LANES) bwd-kernel stat layout.
+
+    di = sum_d(o * do) per (batch, head, row) — a tiny reduce + transpose;
+    lse arrives squeezed to (B, H, S) (remat residual, see _flash_mha_bshd_fwd)
+    and is lane-broadcast back. Shared by every fused backward entry.
+    """
+    b, s, hd = o.shape
+    d = hd // num_heads
+    di = jnp.sum((o.astype(jnp.float32) * do.astype(jnp.float32))
+                 .reshape(b, s, num_heads, d), axis=-1)
+    di = jnp.broadcast_to(di.transpose(0, 2, 1)[..., None],
+                          (b, num_heads, s, LSE_LANES))
+    lse = jnp.broadcast_to(lse_small[..., None],
+                           lse_small.shape + (LSE_LANES,))
+    return lse, di
+
+
 def _bshd_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret,
               save_residuals, num_heads):
     b, sq, hd = q.shape
@@ -632,17 +650,12 @@ def _bshd_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv, interpret,
     return outs[0], None
 
 
-def _bshd_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv,
+def _bshd_bwd(q, k, v, lse, di, do, sm_scale, kv_len, block_q, block_kv,
               interpret, num_heads):
     b, sq, hd = q.shape
     d, hpb = _bshd_group_geometry(hd, num_heads)
     skv = k.shape[1]
     ngroups = num_heads // hpb
-    # di = sum_d(o * do) per (b, head, row): tiny (B, S, H) reduce + transpose
-    di = jnp.sum((o.astype(jnp.float32) * do.astype(jnp.float32))
-                 .reshape(b, sq, num_heads, d), axis=-1)
-    di = jnp.broadcast_to(di.transpose(0, 2, 1)[..., None],
-                          (b, num_heads, sq, LSE_LANES))
 
     if (block_q is None and block_kv is None
             and sq * skv * 4 <= _SCORES_VMEM_BUDGET_BWD_FUSED):
@@ -737,10 +750,9 @@ def _flash_mha_bshd_fwd(q, k, v, sm_scale, kv_len, block_q, block_kv,
 def _flash_mha_bshd_bwd(sm_scale, kv_len, block_q, block_kv, interpret,
                         num_heads, res, do):
     q, k, v, o, lse_small = res
-    lse = jnp.broadcast_to(lse_small[..., None],
-                           lse_small.shape + (LSE_LANES,))
-    return _bshd_bwd(q, k, v, o, lse, do, sm_scale, kv_len, block_q, block_kv,
-                     interpret, num_heads)
+    lse, di = bwd_row_stats(o, do, lse_small, num_heads)
+    return _bshd_bwd(q, k, v, lse, di, do, sm_scale, kv_len, block_q,
+                     block_kv, interpret, num_heads)
 
 
 _flash_mha_bshd.defvjp(_flash_mha_bshd_fwd, _flash_mha_bshd_bwd)

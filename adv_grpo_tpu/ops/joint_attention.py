@@ -55,13 +55,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from adv_grpo_tpu.ops.attention import (
-    LSE_LANES, _bshd_group_geometry, attention_reference, mha_bshd)
+    LSE_LANES, _bshd_group_geometry, attention_reference, bwd_row_stats,
+    mha_bshd)
 from adv_grpo_tpu.ops.fused_norms import _rms_reference, rms_norm_heads
 
 # whole-tile f32 scores budget: (S_q, S_kv) per subhead live in VMEM.
 # 1024^2 * 4B = 4MB at the 512^2 production shape.
 _SCORES_BUDGET = 8 * 1024 * 1024
-_PAD_LSE = 1e9  # padded-row lse: exp(s - 1e9) == 0 for any finite score
 _LOG2E = 1.4426950408889634  # softmax in base 2: fold into the q pre-scale
 _LN2 = 0.6931471805599453
 
@@ -243,7 +243,7 @@ def _joint_bwd_kernel(qi_ref, ki_ref, vi_ref, qt_ref, kt_ref, vt_ref,
     """One (batch, head-group) window: the FULL joint backward, single pass.
 
     Mirrors _joint_fwd_kernel: the streams stay separate in HBM (no q/k/v/o/do
-    concats, no 128-pad, no _PAD_LSE guard rows), the per-stream qk-RMS is
+    concats, no 128-pad, no pad-lse guard rows), the per-stream qk-RMS is
     recomputed on the (S, d) tiles in registers, and every score-space tensor
     (s, p, dp, ds) is computed ONCE and feeds all three cotangent
     contractions. Outputs are gradients wrt the NORMALISED q/k (dyq/dyk — the
@@ -283,13 +283,12 @@ def _joint_bwd_kernel(qi_ref, ki_ref, vi_ref, qt_ref, kt_ref, vt_ref,
 
         dki_acc = None
         dkt_acc = None
-        for q_full, do_full, lse_ref, di_ref, stream, dyqs, dvs_pair in (
-                (q_img, do_img, lsei_ref, dii_ref, 0, dyq_i, (dv_i, dv_t)),
-                (q_txt, do_txt, lset_ref, dit_ref, 1, dyq_t, None)):
+        for q_full, do_full, lse_ref, di_ref, stream, dyqs in (
+                (q_img, do_img, lsei_ref, dii_ref, 0, dyq_i),
+                (q_txt, do_txt, lset_ref, dit_ref, 1, dyq_t)):
             yq = norm(q_full[:, sl], wq_ref, stream, i)  # (S_q, d) f32
             qs2 = (yq * (sm_scale * _LOG2E)).astype(dt)
             yq_s = (yq * sm_scale).astype(dt)
-            do_q = do_full[:, sl].astype(jnp.float32)
             lse2 = lse_ref[0, i][:, :1] * _LOG2E
             di = di_ref[0, i][:, :1]
 
@@ -305,7 +304,7 @@ def _joint_bwd_kernel(qi_ref, ki_ref, vi_ref, qt_ref, kt_ref, vt_ref,
             p1 = jnp.exp2(s1 - lse2)
             p2 = jnp.exp2(s2 - lse2)
 
-            do_qb = do_q.astype(dt)
+            do_qb = do_full[:, sl]
             dv1 = jax.lax.dot_general(
                 p1.astype(dt), do_qb, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -428,14 +427,13 @@ def _single_bwd_kernel(q_ref, k_ref, v_ref, wq_ref, wk_ref, do_ref, lse_ref,
         yq = norm(q[:, sl], wq_ref, i)
         qs2 = (yq * (sm_scale * _LOG2E)).astype(dt)
         ykb = yk.astype(dt)
-        do_q = do[:, sl].astype(jnp.float32)
         lse2 = lse_ref[0, i][:, :1] * _LOG2E
         di = di_ref[0, i][:, :1]
         s = jax.lax.dot_general(
             qs2, ykb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         p = jnp.exp2(s - lse2)
-        do_qb = do_q.astype(dt)
+        do_qb = do[:, sl]
         dv_i = jax.lax.dot_general(
             p.astype(dt), do_qb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -530,7 +528,7 @@ def _joint_mha_p_fwd(q_i, k_i, v_i, q_t, k_t, v_t, wq_i, wk_i, wq_t, wk_t,
 def _joint_mha_p_bwd(num_heads, sm_scale, eps, fuse_rms, interpret, t_valid,
                      res, cot):
     # Fused two-stream backward: no q/k/v/o/do concats, no 128-pad, no
-    # _PAD_LSE guard rows, and the qk-RMS recompute happens in-kernel on the
+    # pad-lse guard rows, and the qk-RMS recompute happens in-kernel on the
     # (S, d) tiles (the wrapper already guaranteed the whole-tile geometry
     # before taking the kernel path in fwd). ``t_valid`` masks the text kv
     # columns the wrapper zero-padded to an 8-multiple; their t2 columns are
@@ -538,24 +536,12 @@ def _joint_mha_p_bwd(num_heads, sm_scale, eps, fuse_rms, interpret, t_valid,
     (q_i, k_i, v_i, q_t, k_t, v_t, wq_i, wk_i, wq_t, wk_t,
      o_i, o_t, lse_i_small, lse_t_small) = res
     do_i, do_t = cot
-    b, s_i, hd = q_i.shape
-    s_t = q_t.shape[1]
-    d = hd // num_heads
-    hpb = 128 // d
+    hpb = 128 // (q_i.shape[-1] // num_heads)
     wq2 = _tile_w2(wq_i, wq_t, hpb)
     wk2 = _tile_w2(wk_i, wk_t, hpb)
 
-    def stats(o, do, lse_small, s):
-        di = jnp.sum((o.astype(jnp.float32) * do.astype(jnp.float32))
-                     .reshape(b, s, num_heads, d), axis=-1)
-        di = jnp.broadcast_to(di.transpose(0, 2, 1)[..., None],
-                              (b, num_heads, s, LSE_LANES))
-        lse = jnp.broadcast_to(lse_small[..., None],
-                               lse_small.shape + (LSE_LANES,))
-        return lse, di
-
-    lse_i, di_i = stats(o_i, do_i, lse_i_small, s_i)
-    lse_t, di_t = stats(o_t, do_t, lse_t_small, s_t)
+    lse_i, di_i = bwd_row_stats(o_i, do_i, lse_i_small, num_heads)
+    lse_t, di_t = bwd_row_stats(o_t, do_t, lse_t_small, num_heads)
 
     dyq_i, dyk_i, dv_i, dyq_t, dyk_t, dv_t = _joint_bwd_fused(
         q_i, k_i, v_i, q_t, k_t, v_t, wq2, wk2, do_i, do_t, lse_i, lse_t,
@@ -789,16 +775,10 @@ def _mha_rms_p_bwd(num_heads, sm_scale, eps, fuse_rms, interpret, res, do):
     # fused single-pass backward: qk-RMS recomputed in-kernel, no separate
     # normalised-q/k HBM materialisation, s/p/dp computed once
     q, k, v, wq, wk, o, lse_small = res
-    b, s, hd = q.shape
-    d = hd // num_heads
-    hpb = 128 // d
+    hpb = 128 // (q.shape[-1] // num_heads)
     wq2 = jnp.tile(wq.astype(jnp.float32), hpb)[None]
     wk2 = jnp.tile(wk.astype(jnp.float32), hpb)[None]
-    di = jnp.sum((o.astype(jnp.float32) * do.astype(jnp.float32))
-                 .reshape(b, s, num_heads, d), axis=-1)
-    di = jnp.broadcast_to(di.transpose(0, 2, 1)[..., None],
-                          (b, num_heads, s, LSE_LANES))
-    lse = jnp.broadcast_to(lse_small[..., None], lse_small.shape + (LSE_LANES,))
+    lse, di = bwd_row_stats(o, do, lse_small, num_heads)
     dyq, dyk, dv = _single_bwd_fused(q, k, v, wq2, wk2, do, lse, di,
                                      num_heads, sm_scale, eps, fuse_rms,
                                      interpret)

@@ -30,12 +30,10 @@ HD = H * D
 REPS = 100
 PEAK = 197e12
 
-# bwd: 5 scores-sized matmuls (s, dv, dp, dk, dq) + the fwd's 2 are NOT
-# re-run (o/lse are residuals) -> grad-of-attention executes fwd(2) + bwd(5)
-# matmuls when jax re-runs the custom-vjp fwd for residuals; report against
-# the bwd-only 5-matmul ideal plus fwd 2 (jax.grad of a custom_vjp runs
-# fwd once + bwd once = 7 matmuls total).
-ATTN_BWD_FLOPS = 7.0 * 2.0 * B * H * S * S * D / 2.0  # 7 matmuls x 2*S*S*D
+# jax.grad of the custom_vjp runs fwd once (2 scores-sized matmuls: qk, pv)
+# + bwd once (5: s-recompute, dv, dp, dk, dq) = 7 matmuls x 2*S*S*D FLOPs
+# each per (batch, head) — same un-halved convention as probe_attention.py.
+ATTN_BWD_FLOPS = 7.0 * 2.0 * B * H * S * S * D
 
 
 def bench(name, loss_fn, q, *rest):
