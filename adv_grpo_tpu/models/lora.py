@@ -41,28 +41,43 @@ class LoRADense(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
+    # only needed for the params-only call mode (x=None), where the input
+    # width cannot be read off x
+    in_features: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, lora_scale=1.0):
+        """Apply the layer; with ``x=None`` only materialise and return the
+        params ``(kernel, bias, lora_a, lora_b)`` — :func:`fused_qkv_proj`
+        uses this to merge sibling projections into one matmul while the
+        checkpoint tree stays byte-identical (same pattern as
+        models.mmdit.HeadRMSNorm's weight-only call)."""
+        in_dim = self.in_features if x is None else x.shape[-1]
         kernel = self.param(
-            "kernel", self.kernel_init, (x.shape[-1], self.features), self.param_dtype
+            "kernel", self.kernel_init, (in_dim, self.features), self.param_dtype
         )
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        bias = None
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
-            y = y + bias.astype(self.dtype)
+        lora_a = lora_b = None
         if self.lora_rank > 0:
             r = self.lora_rank
             lora_a = self.param(
                 "lora_a",
                 nn.initializers.normal(stddev=1.0 / r),
-                (x.shape[-1], r),
+                (in_dim, r),
                 self.param_dtype,
             )
             lora_b = self.param(
                 "lora_b", nn.initializers.zeros, (r, self.features), self.param_dtype
             )
-            scaling = jnp.asarray(lora_scale, self.dtype) * (self.lora_alpha / r)
+        if x is None:
+            return kernel, bias, lora_a, lora_b
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        if self.lora_rank > 0:
+            scaling = jnp.asarray(lora_scale, self.dtype) * (self.lora_alpha / self.lora_rank)
             # LoRA math in the compute dtype; delta added before downstream use.
             delta = jnp.dot(
                 jnp.dot(x.astype(self.dtype), lora_a.astype(self.dtype)),
@@ -70,6 +85,44 @@ class LoRADense(nn.Module):
             )
             y = y + scaling * delta
         return y
+
+
+def fused_qkv_proj(mods, x, lora_scale=1.0):
+    """Apply N sibling LoRADense projections of the SAME input as ONE matmul.
+
+    The base kernels and LoRA A factors concatenate column-wise into a single
+    ``(in, N*out + N*r)`` operand — a matmul's output columns are independent,
+    so each slice of the result is numerically IDENTICAL to the separate
+    ``x @ W_i`` / ``x @ A_i`` products. What changes is the memory traffic:
+    the ``(B, S, in)`` activation streams from HBM once instead of 2N times
+    (base + lora_a dots per module), and under a sampling ``lax.scan`` XLA
+    hoists the concatenated-kernel bf16 cast exactly as it hoists the
+    per-module casts (net resident bytes unchanged — the fused buffer
+    REPLACES the per-projection casts).
+
+    ``mods``: constructed-but-uncalled sibling LoRADense modules with
+    identical geometry; each must carry ``in_features`` for the params-only
+    call. Returns the N projection outputs in order.
+    """
+    m0 = mods[0]
+    dt = m0.dtype
+    n, feats, r = len(mods), m0.features, m0.lora_rank
+    parts = [m(None) for m in mods]  # (kernel, bias, lora_a, lora_b) each
+    blocks = [p[0] for p in parts]
+    if r > 0:
+        blocks += [p[2] for p in parts]
+    big = jnp.concatenate(blocks, axis=1).astype(dt)
+    y = jnp.dot(x.astype(dt), big)
+    outs = [y[..., i * feats:(i + 1) * feats] for i in range(n)]
+    if parts[0][1] is not None:
+        outs = [o + p[1].astype(dt) for o, p in zip(outs, parts)]
+    if r > 0:
+        base = n * feats
+        scaling = jnp.asarray(lora_scale, dt) * (m0.lora_alpha / r)
+        for i, p in enumerate(parts):
+            h = y[..., base + i * r: base + (i + 1) * r]
+            outs[i] = outs[i] + scaling * jnp.dot(h, p[3].astype(dt))
+    return outs
 
 
 def _is_lora_path(path: tuple) -> bool:

@@ -68,6 +68,31 @@ class TestMMDiT:
         n_true = sum(bool(x) for x in jax.tree_util.tree_leaves(mask))
         assert n_true == len(lp)
 
+    def test_fused_qkv_matches_unfused(self):
+        # the fused q/k/v projection (one matmul over [Wq|Wk|Wv|Aq|Ak|Av])
+        # must be numerically identical to the three separate LoRADense
+        # applications — a matmul's output columns are independent — and the
+        # param tree must be byte-identical (checkpoint/PEFT compatibility)
+        import dataclasses
+
+        cfg_u = dataclasses.replace(self.cfg, fused_qkv=False)
+        model_u = MMDiT(cfg_u)
+        v_u = jax.jit(model_u.init)(jax.random.PRNGKey(0), self.lat, self.t,
+                                    self.ctx, self.pooled)
+        assert (jax.tree_util.tree_structure(v_u)
+                == jax.tree_util.tree_structure(self.vars))
+        # nonzero lora_b so the adapter delta path is exercised too
+        lp = lora_params(self.vars["params"])
+        bumped = {k: v + 0.03 for k, v in lp.items() if k.endswith("lora_b")}
+        params2 = merge_lora_params(self.vars["params"], bumped)
+        vars2 = {**self.vars, "params": params2}
+        out_f = self.apply(vars2, self.lat, self.t, self.ctx, self.pooled,
+                           lora_scale=0.7)
+        out_u = jax.jit(model_u.apply)(vars2, self.lat, self.t, self.ctx,
+                                       self.pooled, lora_scale=0.7)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                                   atol=2e-5)
+
     def test_timestep_embedding_semantics(self):
         emb = sincos_timestep_embedding(jnp.array([0.0]), 8)
         # t=0: cos(0)=1 for first half, sin(0)=0 for second (flip_sin_to_cos)
