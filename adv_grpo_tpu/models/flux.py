@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from adv_grpo_tpu.models.lora import LoRADense, fused_qkv_proj
 from adv_grpo_tpu.models.mmdit import (
     AdaLNModulation, HeadRMSNorm, _layer_norm, _mod_ln,
     sincos_timestep_embedding,
@@ -51,6 +52,10 @@ class FluxConfig:
     dtype: Any = jnp.bfloat16
     remat: bool = True
     attention_backend: Optional[str] = None
+    # sibling projections of one activation computed as ONE matmul
+    # (models.lora.fused_qkv_proj): q/k/v per stream in double blocks,
+    # q/k/v + proj_mlp in single blocks — identical values, one HBM read
+    fused_qkv: bool = True
 
     @property
     def hidden_dim(self) -> int:
@@ -121,10 +126,19 @@ class FluxAttention(nn.Module):
         def qkv(x, prefix):
             hn = lambda t, n: HeadRMSNorm(d, num_heads=H, dtype=c.dtype,
                                           name=n)(t)
-            q = hn(dense(f"{prefix}to_q")(x), f"{prefix}norm_q")
-            k = hn(dense(f"{prefix}to_k")(x), f"{prefix}norm_k")
-            v = dense(f"{prefix}to_v")(x)
-            return q, k, v
+            if c.fused_qkv:
+                # LoRADense(rank=0) == Dense (same kernel/bias tree + init);
+                # one matmul reads x from HBM once for all three projections
+                mk = lambda n: LoRADense(dim, lora_rank=0, dtype=c.dtype,
+                                         in_features=x.shape[-1],
+                                         name=f"{prefix}{n}")
+                q, k, v = fused_qkv_proj(
+                    [mk("to_q"), mk("to_k"), mk("to_v")], x)
+            else:
+                q = dense(f"{prefix}to_q")(x)
+                k = dense(f"{prefix}to_k")(x)
+                v = dense(f"{prefix}to_v")(x)
+            return hn(q, f"{prefix}norm_q"), hn(k, f"{prefix}norm_k"), v
 
         iq, ik, iv = qkv(img_mod, "")
         tq, tk, tv = qkv(txt_mod, "add_")
@@ -182,9 +196,20 @@ class FluxSingleBlock(nn.Module):
         shift, scale, gate = AdaLNModulation(dim, 3, dtype=c.dtype, name="norm")(temb)
         h = _mod_ln(x, scale, shift, c.dtype)
 
-        q = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_q")(h)
-        k = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_k")(h)
-        v = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_v")(h)
+        if c.fused_qkv:
+            # q/k/v AND the 4x-wide parallel-MLP projection all read the same
+            # modulated activation: one (dim, 7*dim) matmul, one HBM read of h
+            mk = lambda n, f: LoRADense(f, lora_rank=0, dtype=c.dtype,
+                                        in_features=h.shape[-1], name=n)
+            q, k, v, mlp_h = fused_qkv_proj(
+                [mk("to_q", dim), mk("to_k", dim), mk("to_v", dim),
+                 mk("proj_mlp", dim * 4)], h)
+        else:
+            q = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_q")(h)
+            k = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_k")(h)
+            v = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_v")(h)
+            mlp_h = nn.Dense(dim * 4, dtype=c.dtype, param_dtype=jnp.float32,
+                             name="proj_mlp")(h)
         q = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_q")(q)
         k = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_k")(k)
         pad = (-S) % 128
@@ -200,9 +225,7 @@ class FluxSingleBlock(nn.Module):
                        backend=c.attention_backend)
         att = att[:, :S]
 
-        mlp = nn.Dense(dim * 4, dtype=c.dtype, param_dtype=jnp.float32,
-                       name="proj_mlp")(h)
-        mlp = nn.gelu(mlp, approximate=True)
+        mlp = nn.gelu(mlp_h, approximate=True)
         out = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
                        name="proj_out")(jnp.concatenate([att, mlp], axis=-1))
         return x + gate[:, None] * out

@@ -100,27 +100,32 @@ def fused_qkv_proj(mods, x, lora_scale=1.0):
     per-module casts (net resident bytes unchanged — the fused buffer
     REPLACES the per-projection casts).
 
-    ``mods``: constructed-but-uncalled sibling LoRADense modules with
-    identical geometry; each must carry ``in_features`` for the params-only
-    call. Returns the N projection outputs in order.
+    ``mods``: constructed-but-uncalled sibling LoRADense modules sharing the
+    input width and rank (output widths may differ — e.g. Flux's single-block
+    q/k/v + 4x-wide proj_mlp all read the same modulated activation); each
+    must carry ``in_features`` for the params-only call. Returns the N
+    projection outputs in order.
     """
     m0 = mods[0]
     dt = m0.dtype
-    n, feats, r = len(mods), m0.features, m0.lora_rank
+    r = m0.lora_rank
     parts = [m(None) for m in mods]  # (kernel, bias, lora_a, lora_b) each
     blocks = [p[0] for p in parts]
     if r > 0:
         blocks += [p[2] for p in parts]
     big = jnp.concatenate(blocks, axis=1).astype(dt)
     y = jnp.dot(x.astype(dt), big)
-    outs = [y[..., i * feats:(i + 1) * feats] for i in range(n)]
+    outs = []
+    off = 0
+    for m in mods:
+        outs.append(y[..., off:off + m.features])
+        off += m.features
     if parts[0][1] is not None:
         outs = [o + p[1].astype(dt) for o, p in zip(outs, parts)]
     if r > 0:
-        base = n * feats
         scaling = jnp.asarray(lora_scale, dt) * (m0.lora_alpha / r)
         for i, p in enumerate(parts):
-            h = y[..., base + i * r: base + (i + 1) * r]
+            h = y[..., off + i * r: off + (i + 1) * r]
             outs[i] = outs[i] + scaling * jnp.dot(h, p[3].astype(dt))
     return outs
 

@@ -29,6 +29,7 @@ import numpy as np
 from adv_grpo_tpu.models.mmdit import (
     HeadRMSNorm, _layer_norm, _mod_ln, sincos_timestep_embedding)
 from adv_grpo_tpu.models.flux import apply_rope_bshd, rope_freqs
+from adv_grpo_tpu.models.lora import LoRADense, fused_qkv_proj
 from adv_grpo_tpu.ops.attention import mha_bshd
 
 
@@ -47,6 +48,9 @@ class WanConfig:
     dtype: Any = jnp.bfloat16
     remat: bool = True
     attention_backend: Optional[str] = None
+    # sibling projections of one activation as ONE matmul: self-attn q/k/v,
+    # cross-attn k/v over text (models.lora.fused_qkv_proj)
+    fused_qkv: bool = True
 
     @property
     def hidden_dim(self) -> int:
@@ -97,9 +101,17 @@ class WanBlock(nn.Module):
         # through the same fused kernel
         rms = lambda n: HeadRMSNorm(dim, num_heads=1, dtype=c.dtype, name=n)
         h = _mod_ln(x, scale_sa, shift_sa, c.dtype)
-        q = rms("norm_q")(dense("to_q")(h))
-        k = rms("norm_k")(dense("to_k")(h))
-        v = dense("to_v")(h)
+        if c.fused_qkv:
+            # LoRADense(rank=0) == Dense (same kernel/bias tree + init); one
+            # matmul reads the modulated activation once for q/k/v
+            mk = lambda n: LoRADense(dim, lora_rank=0, dtype=c.dtype,
+                                     in_features=h.shape[-1], name=n)
+            q, k, v = fused_qkv_proj([mk("to_q"), mk("to_k"), mk("to_v")], h)
+            q, k = rms("norm_q")(q), rms("norm_k")(k)
+        else:
+            q = rms("norm_q")(dense("to_q")(h))
+            k = rms("norm_k")(dense("to_k")(h))
+            v = dense("to_v")(h)
         pad = (-S) % 128
         if pad:
             zt = lambda a: jnp.concatenate(
@@ -124,8 +136,14 @@ class WanBlock(nn.Module):
             hq = hq * n2w.astype(c.dtype) + n2b.astype(c.dtype)
         St = text.shape[1]
         q = rms("cross_norm_q")(dense("cross_to_q")(hq))
-        k = rms("cross_norm_k")(dense("cross_to_k")(text))
-        v = dense("cross_to_v")(text)
+        if c.fused_qkv:
+            mkt = lambda n: LoRADense(dim, lora_rank=0, dtype=c.dtype,
+                                      in_features=text.shape[-1], name=n)
+            k, v = fused_qkv_proj([mkt("cross_to_k"), mkt("cross_to_v")], text)
+            k = rms("cross_norm_k")(k)
+        else:
+            k = rms("cross_norm_k")(dense("cross_to_k")(text))
+            v = dense("cross_to_v")(text)
         padq = (-S) % 128
         padk = (-St) % 128
         if padq:

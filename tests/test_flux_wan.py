@@ -153,6 +153,40 @@ class TestFluxTransformer:
         assert roll.log_probs.shape == (B, 2)
         assert np.all(np.isfinite(np.asarray(roll.log_probs)))
 
+    def test_fused_qkv_matches_unfused(self):
+        # fused single-matmul projections (incl. the single-block
+        # qkv+proj_mlp merge) == separate Dense applications, same param tree
+        import dataclasses
+        import numpy as np
+        from adv_grpo_tpu.models.flux import (
+            FluxConfig, FluxTransformer, make_latent_ids,
+        )
+
+        cfg = FluxConfig.tiny()
+        assert cfg.fused_qkv
+        cfg_u = dataclasses.replace(cfg, fused_qkv=False)
+        B, gh, gw = 1, 4, 4
+        img_ids = make_latent_ids(gh, gw)
+        txt_ids = np.zeros((3, 3), np.int32)
+        lat = jax.random.normal(jax.random.PRNGKey(0), (B, gh * gw, cfg.in_channels))
+        txt = jax.random.normal(jax.random.PRNGKey(1), (B, 3, cfg.joint_attention_dim))
+        pooled = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.pooled_projection_dim))
+        t = jnp.array([500.0])
+        model = FluxTransformer(cfg)
+        model_u = FluxTransformer(cfg_u)
+        variables = jax.jit(
+            lambda k: model.init(k, lat, t, txt, pooled, img_ids, txt_ids)
+        )(jax.random.PRNGKey(3))
+        v_u = jax.jit(
+            lambda k: model_u.init(k, lat, t, txt, pooled, img_ids, txt_ids)
+        )(jax.random.PRNGKey(3))
+        assert (jax.tree_util.tree_structure(v_u)
+                == jax.tree_util.tree_structure(variables))
+        out_f = model.apply(variables, lat, t, txt, pooled, img_ids, txt_ids)
+        out_u = model_u.apply(variables, lat, t, txt, pooled, img_ids, txt_ids)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                                   atol=2e-5)
+
     def test_rope_rotation_properties(self):
         import numpy as np
         from adv_grpo_tpu.models.flux import apply_rope_bshd, rope_freqs
@@ -201,6 +235,31 @@ class TestWanTransformer:
         roll = wan_denoise_with_logprob(vfn, lat, jax.random.PRNGKey(3), scfg)
         assert roll.log_probs.shape == (B, 2)
         assert np.all(np.isfinite(np.asarray(roll.log_probs)))
+
+
+    def test_fused_qkv_matches_unfused(self):
+        # self-attn q/k/v + cross-attn k/v fused matmuls == separate Dense
+        import dataclasses
+        import numpy as np
+        from adv_grpo_tpu.models.wan import WanConfig, WanTransformer
+
+        cfg = WanConfig.tiny()
+        assert cfg.fused_qkv
+        cfg_u = dataclasses.replace(cfg, fused_qkv=False)
+        B, C, F, H, W = 1, 16, 2, 4, 4
+        lat = jax.random.normal(jax.random.PRNGKey(0), (B, C, F, H, W))
+        txt = jax.random.normal(jax.random.PRNGKey(1), (B, 3, cfg.text_dim))
+        t = jnp.array([500.0])
+        model = WanTransformer(cfg)
+        model_u = WanTransformer(cfg_u)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(2), lat, t, txt)
+        v_u = jax.jit(model_u.init)(jax.random.PRNGKey(2), lat, t, txt)
+        assert (jax.tree_util.tree_structure(v_u)
+                == jax.tree_util.tree_structure(variables))
+        out_f = model.apply(variables, lat, t, txt)
+        out_u = model_u.apply(variables, lat, t, txt)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                                   atol=2e-5)
 
 
 class TestWanVideoVAE:
