@@ -177,6 +177,10 @@ def make_train_epoch_fn(pipeline, sampler_cfg: SamplerConfig, train_cfg,
         state = apply_microbatch_grads(state, grads)
         return state, info
 
+    # NOTE: donate_argnums=(0,) on `state` is tempting (the caller rebinds at
+    # every call site) but invalid — the GeneratorState tree aliases buffers
+    # at init (EMA starts as the same arrays as lora), and XLA rejects
+    # donating one buffer twice.
     @jax.jit
     def train_epoch(state: GeneratorState, frozen_params, samples, neg_embeds,
                     neg_pooled):
