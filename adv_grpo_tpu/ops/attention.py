@@ -520,7 +520,13 @@ def _bshd_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         if kv_len is not None:
             col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
             s2 = jnp.where(col < kv_len, s2, -jnp.inf)
-        p = jnp.exp2(s2 - lse2)  # padded q rows: lse2 huge -> p == 0
+        # NOTE padded q rows: the forward lse there is log(kv_len) (finite)
+        # and p recomputes as a uniform 1/kv_len — NOT zero. Their dk/dv
+        # contributions vanish only because every caller slices the padded
+        # attention output, so the slice VJP zero-pads `do` (doi == 0 ⇒
+        # dv_i rows 0, dp 0, di 0, t 0). A caller consuming UNSLICED padded
+        # output would get wrong dk/dv from these rows.
+        p = jnp.exp2(s2 - lse2)
         dv_i = jax.lax.dot_general(
             p, doi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(

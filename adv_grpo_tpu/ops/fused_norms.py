@@ -205,10 +205,13 @@ def _rms_heads_p_fwd(x, w, num_heads, eps, out_dtype, interpret):
     return _rms_heads_p(x, w, num_heads, eps, out_dtype, interpret), (x, w)
 
 
-def _rms_heads_p_bwd(num_heads, eps, out_dtype, interpret, res, dy):
-    # per head group: r = rsqrt(mean(x^2)+eps); y = x * r * w
-    # dx = r * (w*dy) - x * r^3/d * sum(x * (w*dy));  dw = sum(dy * x * r)
-    x, w = res
+def rms_bwd_closed(x, w, dy, num_heads, eps):
+    """Closed-form per-head RMS backward (shared by the rms_norm_heads VJP
+    and the fused attention backwards in ops.joint_attention, where the
+    forward RMS is recomputed in-kernel and only dy is produced):
+      r = rsqrt(mean(x^2)+eps); y = x * r * w
+      dx = r * (w*dy) - x * r^3/d * sum(x * (w*dy));  dw = sum(dy * x * r)
+    """
     b, s, hd = x.shape
     d = hd // num_heads
     xf = x.reshape(b, s, num_heads, d).astype(jnp.float32)
@@ -220,6 +223,11 @@ def _rms_heads_p_bwd(num_heads, eps, out_dtype, interpret, res, dy):
     dx = r * gw - xf * (r ** 3 / d) * jnp.sum(xf * gw, axis=-1, keepdims=True)
     dw = jnp.sum(g * xf * r, axis=(0, 1, 2))
     return dx.reshape(b, s, hd).astype(x.dtype), dw.astype(w.dtype)
+
+
+def _rms_heads_p_bwd(num_heads, eps, out_dtype, interpret, res, dy):
+    x, w = res
+    return rms_bwd_closed(x, w, dy, num_heads, eps)
 
 
 _rms_heads_p.defvjp(_rms_heads_p_fwd, _rms_heads_p_bwd)

@@ -33,7 +33,7 @@ Backward is fused the same way (_joint_bwd_kernel): one grid cell per
 registers, computes each score-space tensor (s, p, dp, ds) ONCE, and emits
 all six cotangents (dyq/dyk/dv per stream) — no q/k/v/o/do concats, no
 128-pad, no separate RMS kernel launches. The RMS input gradients go through
-the closed form outside (same math as ops.fused_norms._rms_heads_p_bwd).
+the closed form outside (ops.fused_norms.rms_bwd_closed).
 
 ``mha_rms`` is the single-stream variant (SD3.5's dual self-attention): same
 fused qk-RMS, one kv stream.
@@ -57,28 +57,14 @@ from jax.experimental.pallas import tpu as pltpu
 from adv_grpo_tpu.ops.attention import (
     LSE_LANES, _bshd_group_geometry, attention_reference, bwd_row_stats,
     mha_bshd)
-from adv_grpo_tpu.ops.fused_norms import _rms_reference, rms_norm_heads
+from adv_grpo_tpu.ops.fused_norms import (
+    _rms_reference, rms_bwd_closed as _rms_bwd_closed, rms_norm_heads)
 
 # whole-tile f32 scores budget: (S_q, S_kv) per subhead live in VMEM.
 # 1024^2 * 4B = 4MB at the 512^2 production shape.
 _SCORES_BUDGET = 8 * 1024 * 1024
 _LOG2E = 1.4426950408889634  # softmax in base 2: fold into the q pre-scale
 _LN2 = 0.6931471805599453
-
-
-def _rms_bwd_closed(x, w, dy, num_heads, eps):
-    """Closed-form RMS backward (= fused_norms._rms_heads_p_bwd math)."""
-    b, s, hd = x.shape
-    d = hd // num_heads
-    xf = x.reshape(b, s, num_heads, d).astype(jnp.float32)
-    g = dy.reshape(b, s, num_heads, d).astype(jnp.float32)
-    wf = w.astype(jnp.float32)
-    m2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    r = jax.lax.rsqrt(m2 + eps)
-    gw = g * wf
-    dx = r * gw - xf * (r**3 / d) * jnp.sum(xf * gw, axis=-1, keepdims=True)
-    dw = jnp.sum(g * xf * r, axis=(0, 1, 2))
-    return dx.reshape(b, s, hd).astype(x.dtype), dw.astype(w.dtype)
 
 
 # ───────────────────────────── forward kernel ─────────────────────────────
@@ -656,8 +642,7 @@ def joint_mha(q_img, k_img, v_img, q_txt, k_txt, v_txt, *, num_heads,
 
 
 def _single_fwd_kernel(q_ref, k_ref, v_ref, wq_ref, wk_ref, o_ref, lse_ref,
-                       m_scr, l_scr, acc_scr, *, sm_scale, eps, d, hpb,
-                       fuse_rms):
+                       *, sm_scale, eps, d, hpb, fuse_rms):
     """Whole-tile single-stream attention with fused qk-RMS; grid (B, G)."""
     q = q_ref[0]
     k = k_ref[0]
@@ -697,7 +682,6 @@ def _single_fwd_kernel(q_ref, k_ref, v_ref, wq_ref, wk_ref, o_ref, lse_ref,
                 (m + jnp.log2(jnp.maximum(l, 1e-37))) * _LN2,
                 (q.shape[0], LSE_LANES))
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
-    del m_scr, l_scr, acc_scr  # single kv block: no cross-block state needed
 
 
 def _single_fwd(q, k, v, wq2, wk2, num_heads, sm_scale, eps, fuse_rms,
@@ -710,8 +694,8 @@ def _single_fwd(q, k, v, wq2, wk2, num_heads, sm_scale, eps, fuse_rms,
                                d=d, hpb=hpb, fuse_rms=fuse_rms)
     if not save_residuals:
         kernel = functools.partial(
-            lambda q_, k_, v_, wq_, wk_, o_, m, l, a, kern=None: kern(
-                q_, k_, v_, wq_, wk_, o_, None, m, l, a),
+            lambda q_, k_, v_, wq_, wk_, o_, kern=None: kern(
+                q_, k_, v_, wq_, wk_, o_, None),
             kern=kernel)
     spec = pl.BlockSpec((1, s, 128), lambda b_, g_: (b_, 0, g_),
                         memory_space=pltpu.VMEM)
@@ -731,11 +715,6 @@ def _single_fwd(q, k, v, wq2, wk2, num_heads, sm_scale, eps, fuse_rms,
         in_specs=[spec, spec, spec, w_spec, w_spec],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024,

@@ -30,10 +30,13 @@ HD = H * D
 REPS = 500
 PEAK = 197e12
 
-ATTN_FLOPS = 4.0 * B * H * S * S * D  # qk + pv
+ATTN_FLOPS = 4.0 * B * H * S * S * D  # qk + pv, joint (S_IMG+S_TXT) shape
+# single-stream variants compute only the (S_IMG, S_IMG) score tile — charging
+# them the joint count would overstate their TF/s by (S/S_IMG)^2 = 1.34x
+ATTN_FLOPS_S1024 = 4.0 * B * H * S_IMG * S_IMG * D
 
 
-def bench(name, fn, *args):
+def bench(name, fn, *args, flops=ATTN_FLOPS):
     """fn: (q_like, *rest) -> array summed into the carry; scanned REPS times."""
 
     @jax.jit
@@ -50,8 +53,8 @@ def bench(name, fn, *args):
     t0 = time.perf_counter()
     float(loop(*args))
     dt = (time.perf_counter() - t0) / REPS
-    print(f"{name:34s} {dt * 1e3:7.3f} ms   {ATTN_FLOPS / dt / 1e12:6.1f} TF/s "
-          f"({ATTN_FLOPS / dt / PEAK * 100:4.1f}% peak)")
+    print(f"{name:34s} {dt * 1e3:7.3f} ms   {flops / dt / 1e12:6.1f} TF/s "
+          f"({flops / dt / PEAK * 100:4.1f}% peak)")
     return dt
 
 
@@ -87,7 +90,8 @@ def main():
 
     # 4) single-stream at 1024 (dual self-attention shape)
     bench("mha_rms s1024", lambda q, k, v: mha_rms(
-        q, k, v, num_heads=H, rms_weights=(w[0], w[1])), q_i, k_i, v_i)
+        q, k, v, num_heads=H, rms_weights=(w[0], w[1])), q_i, k_i, v_i,
+        flops=ATTN_FLOPS_S1024)
 
     # 5) official pallas flash_attention (BHSD), padded to 1280
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -121,7 +125,8 @@ def main():
         o = jnp.einsum("bhqk,bhkd->bhqd", p, v4)
         return o.transpose(0, 2, 1, 3).reshape(B, S_IMG, HD)
     flops_ratio = (S_IMG * S_IMG) / (S * S)
-    dt = bench("XLA einsum s1024 (no flash)", xla_attn, q_i, k_i, v_i)
+    dt = bench("XLA einsum s1024 (no flash)", xla_attn, q_i, k_i, v_i,
+               flops=ATTN_FLOPS_S1024)
     print(f"  (s1024 ideal-scaled: equivalent joint time "
           f"{dt / flops_ratio * 1e3:.3f} ms)")
 

@@ -34,9 +34,12 @@ PEAK = 197e12
 # + bwd once (5: s-recompute, dv, dp, dk, dq) = 7 matmuls x 2*S*S*D FLOPs
 # each per (batch, head) — same un-halved convention as probe_attention.py.
 ATTN_BWD_FLOPS = 7.0 * 2.0 * B * H * S * S * D
+# the single-stream variant computes only the (S_IMG, S_IMG) tile — charging
+# it the joint count would overstate its TF/s by (S/S_IMG)^2 = 1.34x
+ATTN_BWD_FLOPS_S1024 = 7.0 * 2.0 * B * H * S_IMG * S_IMG * D
 
 
-def bench(name, loss_fn, q, *rest):
+def bench(name, loss_fn, q, *rest, flops=ATTN_BWD_FLOPS):
     grad_fn = jax.grad(loss_fn)
 
     @jax.jit
@@ -53,8 +56,8 @@ def bench(name, loss_fn, q, *rest):
     float(loop(q, *rest))
     dt = (time.perf_counter() - t0) / REPS
     print(f"{name:34s} {dt * 1e3:7.3f} ms   "
-          f"{ATTN_BWD_FLOPS / dt / 1e12:6.1f} TF/s "
-          f"({ATTN_BWD_FLOPS / dt / PEAK * 100:4.1f}% peak)")
+          f"{flops / dt / 1e12:6.1f} TF/s "
+          f"({flops / dt / PEAK * 100:4.1f}% peak)")
     return dt
 
 
@@ -118,7 +121,8 @@ def main():
         o = mha_rms(q, k, v, num_heads=H, rms_weights=(w[0], w[1]))
         return jnp.sum(o.astype(jnp.float32) ** 2)
 
-    bench("grad mha_rms s1024 fused", loss_single, q_i, k_i, v_i)
+    bench("grad mha_rms s1024 fused", loss_single, q_i, k_i, v_i,
+          flops=ATTN_BWD_FLOPS_S1024)
 
 
 if __name__ == "__main__":

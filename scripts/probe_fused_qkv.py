@@ -75,6 +75,42 @@ def bench_fwd(name, model, variables, flops):
     return dt
 
 
+def bench_grad(name, model, variables, flops):
+    """jax.grad through one forward wrt the latents — the fused projections'
+    backward path (transposed concat-kernel matmuls + remat re-forward).
+    FLOPs reported against the 4x-forward remat-inclusive convention."""
+    lat = jnp.full((B, model.cfg.in_channels, LATENT_HW, LATENT_HW), 0.1,
+                   jnp.bfloat16)
+    t = jnp.full((B,), 500.0)
+    ctx = jnp.full((B, S_TXT, model.cfg.joint_attention_dim), 0.01,
+                   jnp.bfloat16)
+    pooled = jnp.full((B, model.cfg.pooled_projection_dim), 0.01, jnp.bfloat16)
+
+    def loss(x):
+        out = model.apply(variables, x, t, ctx, pooled)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grad_fn = jax.grad(loss)
+
+    @jax.jit
+    def loop(x0):
+        def body(carry, _):
+            g = grad_fn(carry)
+            return (carry + 0.0 * g).astype(carry.dtype), jnp.float32(0)
+
+        c, _ = jax.lax.scan(body, x0, None, length=REPS)
+        return jnp.sum(c.astype(jnp.float32))
+
+    float(loop(lat))  # compile
+    t0 = time.perf_counter()
+    float(loop(lat))
+    dt = (time.perf_counter() - t0) / REPS
+    gflops = 4.0 * flops  # fwd + remat re-fwd + bwd dx chain
+    print(f"{name:28s} {dt * 1e3:8.2f} ms   {gflops / dt / 1e12:6.1f} TF/s "
+          f"({gflops / dt / PEAK * 100:4.1f}% peak, 4x-fwd convention)")
+    return dt
+
+
 def main():
     key = jax.random.PRNGKey(0)
     s_img = (LATENT_HW // 2) ** 2
@@ -83,6 +119,7 @@ def main():
         flops = mmdit_forward_flops(cfg, s_img, S_TXT, B)
         model, variables = materialise(cfg, key)
         bench_fwd(f"mmdit fwd fused_qkv={fused}", model, variables, flops)
+        bench_grad(f"mmdit grad fused_qkv={fused}", model, variables, flops)
         # free before the next variant materialises
         for leaf in jax.tree_util.tree_leaves(variables):
             leaf.delete()
