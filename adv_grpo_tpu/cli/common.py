@@ -68,6 +68,22 @@ def apply_overrides(config, overrides):
     return config
 
 
+def maybe_enable_compilation_cache(config):
+    """Point XLA's persistent compilation cache at tpu.compilation_cache_dir
+    (if set): the 2.2B MMDiT CFG graph costs ~2 min to compile, and cached
+    executables let resume/eval/infer on the same topology skip straight to
+    execution. Safe to call repeatedly; multi-host processes may share the
+    directory (entries are fingerprint-keyed and written atomically)."""
+    import jax
+
+    cache_dir = str(config.tpu.get("compilation_cache_dir", "") or "")
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything that took meaningful compile time (default is 1s)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def build_pipeline(config, latent_hw: Optional[int] = None):
     """Load the SD3 pipeline from config.pretrained.model (a LOCAL converted
     diffusers directory — the TPU analogue of the reference's
@@ -83,6 +99,7 @@ def build_pipeline(config, latent_hw: Optional[int] = None):
     from adv_grpo_tpu.models.vae import VAEConfig
     from adv_grpo_tpu.train.pipeline import SD3Pipeline
 
+    maybe_enable_compilation_cache(config)
     model_dir = str(config.pretrained.model)
     lora_rank = int(config.train.lora_rank) if config.use_lora else 0
     smoke = bool(config.get("smoke_test", False))

@@ -118,5 +118,11 @@ def get_config() -> ml_collections.ConfigDict:
     tpu.attention_backend = ml_collections.config_dict.placeholder(str)
     tpu.profile_dir = ""
     tpu.debug_nans = False
+    # persistent XLA compilation cache: compiled executables (the 2.2B MMDiT
+    # CFG graph takes ~2 min to compile) are reused across process restarts —
+    # resume/eval/infer on the same topology skip straight to execution.
+    # "" disables; multi-host processes may share one directory (the cache
+    # is keyed by executable fingerprint and written atomically).
+    tpu.compilation_cache_dir = ""
 
     return config

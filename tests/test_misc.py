@@ -355,6 +355,29 @@ class TestApplyOverrides:
             apply_overrides(cfg, ["no_equals_sign"])
 
 
+class TestCompilationCache:
+    def test_enables_persistent_cache_from_config(self, tmp_path):
+        import jax
+
+        from adv_grpo_tpu.cli.common import maybe_enable_compilation_cache
+        from adv_grpo_tpu.config import grpo as grpo_config
+
+        cfg = grpo_config.get_config("smoke_sd3_fast")
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            # "" (default) is a no-op
+            maybe_enable_compilation_cache(cfg)
+            assert jax.config.jax_compilation_cache_dir == prev
+
+            cache = tmp_path / "xla_cache"
+            cfg.tpu.compilation_cache_dir = str(cache)
+            maybe_enable_compilation_cache(cfg)
+            assert jax.config.jax_compilation_cache_dir == str(cache)
+            assert cache.is_dir()
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
+
 class TestInferImageToImage:
     def test_cli_distribution_transfer(self, tmp_path):
         """cli.infer --image: external PNG -> VAE encode -> forward-noise at
