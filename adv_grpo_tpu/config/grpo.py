@@ -177,6 +177,51 @@ def smoke_sd3_fast(replica_count=1):
     return config
 
 
+def flux_smoke():
+    """Flux / Flux-Kontext full-SDE demo preset (phase-2 family). Drives
+    ``scripts/demo/flux_sde_demo.py`` the way the reference ships Flux: as a
+    library sampler plus a demo script (flux_pipeline_with_logprob.py +
+    scripts/demo/{flux,flux_kontext}_sde_demo.py). Random-init tiny model by
+    default; set FLUX_DIR to a diffusers FluxTransformer2DModel directory for
+    real weights (load_flux_transformer)."""
+    config = base.get_config()
+    config.model_family = "flux"
+    config.smoke_test = True
+    config.pretrained.model = os.environ.get("FLUX_DIR", "")
+    config.resolution = 64  # tiny random-init default; real Flux: 512+
+    config.sample.num_steps = 4
+    config.sample.eval_num_steps = 4
+    config.sample.noise_level = 0.7
+    config.sample.guidance_scale = 3.5
+    config.wandb_init = False
+    config.save_dir = "logs/flux_smoke"
+    config.case_name = "flux_smoke"
+    return config
+
+
+def wan_smoke():
+    """WAN text-to-video SDE demo preset (phase-3 family). Drives
+    ``scripts/demo/wan_sde_demo.py``; mirrors how the reference ships WAN as
+    a library sampler (wan_pipeline_with_logprob.py) with per-step KL. Tiny
+    random-init transformer + 3D causal VAE by default; set WAN_DIR to a
+    diffusers WanTransformer3DModel dir for real weights."""
+    config = base.get_config()
+    config.model_family = "wan"
+    config.smoke_test = True
+    config.pretrained.model = os.environ.get("WAN_DIR", "")
+    config.resolution = 32  # tiny default frame size (multiple of VAE factor)
+    config.sample.num_steps = 4
+    config.sample.eval_num_steps = 4
+    config.sample.noise_level = 0.7  # WAN SDE noise is schedule-driven
+    config.sample.guidance_scale = 0.0  # reference WAN rollout is uncond CFG-free
+    config.sample.kl_reward = 0.0
+    config.sample.num_frames = 8  # pixel frames (latent F = frames/temporal_factor)
+    config.wandb_init = False
+    config.save_dir = "logs/wan_smoke"
+    config.case_name = "wan_smoke"
+    return config
+
+
 def eval_sd3_fast(replica_count=8):
     """Deterministic batch-eval preset (reference config/grpo.py:247-312)."""
     config = _sd3_fast_common(compressibility(), replica_count)
@@ -198,6 +243,8 @@ _PRESETS = {
     "dino_cotrain_sd3_multi_fast": dino_cotrain_sd3_multi_fast,
     "smoke_sd3_fast": smoke_sd3_fast,
     "eval_sd3_fast": eval_sd3_fast,
+    "flux_smoke": flux_smoke,
+    "wan_smoke": wan_smoke,
 }
 
 

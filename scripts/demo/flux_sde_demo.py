@@ -1,97 +1,131 @@
-"""Flux SDE noise-level sweep demo (reference scripts/demo/flux_sde_demo.py
-capability; flux_kontext mode via --cond_image covers flux_kontext_sde_demo).
+"""Flux / Flux-Kontext full-SDE noise-level sweep demo.
 
-Drives the phase-2 Flux sampler end-to-end: load a converted diffusers
-FluxTransformer2DModel directory (--model) or a tiny random-init (--tiny),
-then render the same latent seed at several noise levels through the full-SDE
-rollout (rollout/flux.py).
+Reference capability: scripts/demo/flux_sde_demo.py + flux_kontext_sde_demo.py
+drive flux_pipeline_with_logprob.py / flux_kontext_pipeline_with_logprob.py at
+several noise levels to visualise the stochasticity-quality tradeoff. Here the
+same sweep runs through ``rollout.flux.flux_denoise_with_logprob`` (one
+lax.scan, per-step Flow-SDE logprobs) on a FluxTransformer.
 
-Text conditioning: Flux uses T5 + CLIP pooled embeddings; supply
-precomputed embeddings via --embeds (.npz with 'ctx'/'pooled') or the demo
-uses deterministic pseudo-embeddings (shape-correct, for pipeline smoke)."""
+Weights: random-init ``FluxConfig.tiny()`` by default (path/shape smoke);
+set ``FLUX_DIR`` to a local diffusers FluxTransformer2DModel directory to run
+the real model (``models.convert.load_flux_transformer``). ``--kontext`` packs
+a conditioning image latent and concatenates it along the token sequence each
+step (reference flux_kontext_pipeline_with_logprob.py:209-211).
+"""
 
 import argparse
 
 
-def main(argv=None):
+def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", default=None,
-                        help="converted diffusers Flux transformer dir")
-    parser.add_argument("--tiny", action="store_true",
-                        help="random-init tiny model (pipeline smoke)")
-    parser.add_argument("--noise_levels", default="0.0,0.4,0.7")
-    parser.add_argument("--steps", type=int, default=4)
-    parser.add_argument("--grid", type=int, default=8,
-                        help="packed latent grid (gh=gw)")
-    parser.add_argument("--seq_txt", type=int, default=8)
-    parser.add_argument("--embeds", default=None,
-                        help=".npz with ctx (1,S,joint_dim), pooled (1,pooled_dim)")
-    parser.add_argument("--cond_image_latents", default=None,
-                        help=".npy packed cond latents -> Kontext mode")
-    parser.add_argument("--out", default="flux_demo.npz")
-    args = parser.parse_args(argv)
+    parser.add_argument("--config", default="flux_smoke")
+    parser.add_argument("--noise_levels", default="0.0,0.4,0.7,0.9")
+    parser.add_argument("--out_dir", default="demo_outputs/flux")
+    parser.add_argument("--kontext", action="store_true",
+                        help="image-conditioned (Kontext) mode: a conditioning "
+                             "latent rides the token seq at each model call")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import logging
+    import os
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from PIL import Image
 
+    from adv_grpo_tpu.cli.common import resolve_config
     from adv_grpo_tpu.models.flux import (
-        FluxConfig, FluxTransformer, make_latent_ids)
+        FluxConfig, FluxTransformer, make_latent_ids,
+    )
+    from adv_grpo_tpu.native.lib import images_to_uint8
     from adv_grpo_tpu.rollout.flux import (
-        FluxSamplerConfig, flux_denoise_with_logprob)
+        FluxSamplerConfig, flux_denoise_with_logprob, pack_latents,
+        unpack_latents,
+    )
 
-    if args.model:
+    config = resolve_config(args.config)
+    model_dir = str(config.pretrained.model or "")
+    key = jax.random.PRNGKey(args.seed)
+
+    if model_dir:
         from adv_grpo_tpu.models.convert import load_flux_transformer
 
-        cfg, params = load_flux_transformer(args.model)
-    elif args.tiny:
+        cfg, params = load_flux_transformer(model_dir)
+        model = FluxTransformer(cfg)
+        variables = {"params": params}
+    else:
+        logging.getLogger(__name__).warning(
+            "FLUX_DIR not set -> tiny RANDOM-INIT Flux (sampler-path demo; "
+            "outputs are noise)")
         cfg = FluxConfig.tiny()
-        params = FluxTransformer(cfg).init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, args.grid * args.grid, cfg.in_channels)),
-            jnp.zeros((1,)), jnp.zeros((1, args.seq_txt, cfg.joint_attention_dim)),
-            jnp.zeros((1, cfg.pooled_projection_dim)),
-            make_latent_ids(args.grid, args.grid),
-            np.zeros((args.seq_txt, 3), np.int32))["params"]
-    else:
-        raise SystemExit("pass --model DIR or --tiny")
+        model = FluxTransformer(cfg)
 
-    model = FluxTransformer(cfg)
-    gh = gw = args.grid
-    if args.embeds:
-        z = np.load(args.embeds)
-        ctx, pooled = jnp.asarray(z["ctx"]), jnp.asarray(z["pooled"])
-    else:
-        rng = np.random.default_rng(0)
-        ctx = jnp.asarray(rng.normal(
-            0, 0.2, (1, args.seq_txt, cfg.joint_attention_dim)).astype(np.float32))
-        pooled = jnp.asarray(rng.normal(
-            0, 0.2, (1, cfg.pooled_projection_dim)).astype(np.float32))
+    # latent grid: resolution/8 pixels-per-latent, packed 2x2 per token
+    gh = gw = max(2, int(config.resolution) // 16)
+    S = gh * gw
     img_ids = make_latent_ids(gh, gw)
-    txt_ids = np.zeros((ctx.shape[1], 3), np.int32)
-    cond = (jnp.asarray(np.load(args.cond_image_latents))
-            if args.cond_image_latents else None)
+    S_txt = 4
+    txt_ids = np.zeros((S_txt, 3), np.int32)
 
-    def vfn(lat, t):
-        return model.apply({"params": params}, lat, t, ctx, pooled,
-                           img_ids, txt_ids)
+    key, ki = jax.random.split(key)
+    C = cfg.in_channels // 4
+    latents = jax.random.normal(ki, (1, C, gh * 2, gw * 2), jnp.float32)
+    packed = pack_latents(latents)
 
-    lat0 = jax.random.normal(jax.random.PRNGKey(1),
-                             (1, gh * gw, cfg.in_channels))
-    results = {}
+    key, kt, kp = jax.random.split(key, 3)
+    txt = jax.random.normal(kt, (1, S_txt, cfg.joint_attention_dim))
+    pooled = jax.random.normal(kp, (1, cfg.pooled_projection_dim))
+
+    cond = None
+    all_img_ids = img_ids
+    if args.kontext:
+        # conditioning tokens: same grid, ids offset on the frame axis the way
+        # the Kontext pipeline distinguishes sample vs conditioning tokens
+        cond_ids = make_latent_ids(gh, gw).copy()
+        cond_ids[:, 0] = 1
+        all_img_ids = np.concatenate([img_ids, cond_ids], axis=0)
+        key, kc = jax.random.split(key)
+        cond = pack_latents(jax.random.normal(kc, latents.shape, jnp.float32))
+
+    if not model_dir:
+        variables = jax.jit(
+            lambda k: model.init(
+                k, packed if cond is None else jnp.concatenate([packed, cond], 1),
+                jnp.ones((1,)), txt, pooled, all_img_ids, txt_ids)
+        )(jax.random.PRNGKey(1))
+
+    def velocity_fn(tokens, t):
+        return model.apply(variables, tokens, t, txt, pooled, all_img_ids,
+                           txt_ids,
+                           guidance=jnp.full((tokens.shape[0],),
+                                             float(config.sample.guidance_scale)))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    num_steps = int(config.sample.num_steps)
     for nl in [float(x) for x in args.noise_levels.split(",")]:
-        scfg = FluxSamplerConfig(num_steps=args.steps, noise_level=nl)
-        out = jax.jit(lambda l, k: flux_denoise_with_logprob(
-            vfn, l, k, scfg, cond_latents=cond))(lat0, jax.random.PRNGKey(2))
-        results[f"latents_{nl:.1f}"] = np.asarray(out.final_latents)
-        results[f"logprobs_{nl:.1f}"] = np.asarray(out.log_probs)
-        lp = float(jnp.mean(out.log_probs))
-        # noise 0 is the deterministic ODE: the Gaussian density degenerates
-        # (reference sde_step_with_logprob divides by std 0 the same way)
-        print(f"noise {nl:.1f}: mean logprob "
-              + ("n/a (deterministic)" if nl == 0 else f"{lp:+.4f}"))
-    np.savez(args.out, **results)
-    print("wrote", args.out)
+        scfg = FluxSamplerConfig(num_steps=num_steps, noise_level=nl)
+        out = jax.jit(
+            lambda l, k: flux_denoise_with_logprob(velocity_fn, l, k, scfg,
+                                                   cond_latents=cond)
+        )(packed, jax.random.PRNGKey(args.seed + 1))
+        final = unpack_latents(out.final_latents, gh * 2, gw * 2)
+        # channel-normalised latent visualisation (real decode needs the Flux
+        # AutoencoderKL; the demo's contract is the sampler, not the VAE)
+        vis = np.asarray(final[0:1, :3], np.float32)  # (1, 3, H, W)
+        vis = vis / (np.abs(vis).max() + 1e-6)
+        u8 = images_to_uint8(vis)[0]
+        tag = "kontext_" if args.kontext else ""
+        path = os.path.join(args.out_dir, f"{tag}noise_{nl:.1f}.png")
+        Image.fromarray(u8).resize((256, 256), Image.NEAREST).save(path)
+        # sampled logprob depends only on the noise draw (-eps^2/2 - log std);
+        # at noise 0 the Gaussian is degenerate -> logprob undefined (the
+        # reference's sde_step_with_logprob divides by zero there too)
+        lp = ("deterministic" if nl == 0.0
+              else f"{float(jnp.mean(out.log_probs)):.4f}")
+        print(path, "mean logprob:", lp,
+              "| latent std:", f"{float(jnp.std(out.final_latents)):.4f}")
 
 
 if __name__ == "__main__":

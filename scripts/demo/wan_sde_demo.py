@@ -1,71 +1,114 @@
-"""WAN video SDE rollout demo: drives the phase-3 text-to-video sampler
-end-to-end (rollout/wan.py — reference wan_pipeline_with_logprob.py), with
-optional per-step KL against the lora_scale=0 reference policy.
+"""WAN text-to-video SDE rollout demo.
 
-Load a converted diffusers WanTransformer3DModel directory (--model) or a tiny
-random-init (--tiny); latents decode through models/wan_vae when --vae_stats
-points at a converted stats file, else raw latents are saved."""
+Reference capability: wan_pipeline_with_logprob.py — a UniPC-schedule SDE
+rollout over 5-D video latents with per-step logprobs, optional per-step KL
+against the adapter-free reference policy (``lora_scale=0``), and a
+deterministic mode. Here the same rollout runs through
+``rollout.wan.wan_denoise_with_logprob`` on a WanTransformer, decoded by the
+3D causal video VAE into a frame strip PNG.
+
+Weights: random-init ``WanConfig.tiny()`` + ``WanVAEConfig.tiny()`` by
+default; set ``WAN_DIR`` to a local diffusers WanTransformer3DModel directory
+(``models.convert.load_wan_transformer``) — the tiny VAE still decodes unless
+a converted WAN VAE is wired in by the caller.
+"""
 
 import argparse
 
 
-def main(argv=None):
+def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", default=None)
-    parser.add_argument("--tiny", action="store_true")
-    parser.add_argument("--steps", type=int, default=4)
-    parser.add_argument("--frames", type=int, default=3)
-    parser.add_argument("--hw", type=int, default=8, help="latent H=W")
-    parser.add_argument("--seq_txt", type=int, default=6)
-    parser.add_argument("--kl_reward", type=float, default=0.0)
-    parser.add_argument("--embeds", default=None,
-                        help=".npz with text (1,S,text_dim) UMT5 states")
-    parser.add_argument("--out", default="wan_demo.npz")
-    args = parser.parse_args(argv)
+    parser.add_argument("--config", default="wan_smoke")
+    parser.add_argument("--kl_reward", type=float, default=None,
+                        help="override config.sample.kl_reward (>0 records "
+                             "per-step KL vs the lora_scale=0 policy)")
+    parser.add_argument("--deterministic", action="store_true")
+    parser.add_argument("--out_dir", default="demo_outputs/wan")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import logging
+    import os
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from PIL import Image
 
+    from adv_grpo_tpu.cli.common import resolve_config
     from adv_grpo_tpu.models.wan import WanConfig, WanTransformer
-    from adv_grpo_tpu.rollout.wan import (
-        WanSamplerConfig, wan_denoise_with_logprob)
+    from adv_grpo_tpu.models.wan_vae import WanVAEConfig, WanVideoVAE
+    from adv_grpo_tpu.native.lib import images_to_uint8
+    from adv_grpo_tpu.rollout.wan import WanSamplerConfig, wan_denoise_with_logprob
 
-    if args.model:
+    config = resolve_config(args.config)
+    model_dir = str(config.pretrained.model or "")
+    key = jax.random.PRNGKey(args.seed)
+
+    if model_dir:
         from adv_grpo_tpu.models.convert import load_wan_transformer
 
-        cfg, params = load_wan_transformer(args.model)
-    elif args.tiny:
+        cfg, params = load_wan_transformer(model_dir)
+        model = WanTransformer(cfg)
+        variables = {"params": params}
+    else:
+        logging.getLogger(__name__).warning(
+            "WAN_DIR not set -> tiny RANDOM-INIT WAN (sampler-path demo; "
+            "outputs are noise)")
         cfg = WanConfig.tiny()
-        params = WanTransformer(cfg).init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, cfg.in_channels, args.frames, args.hw, args.hw)),
-            jnp.zeros((1,)),
-            jnp.zeros((1, args.seq_txt, cfg.text_dim)))["params"]
-    else:
-        raise SystemExit("pass --model DIR or --tiny")
+        model = WanTransformer(cfg)
 
-    model = WanTransformer(cfg)
-    if args.embeds:
-        text = jnp.asarray(np.load(args.embeds)["text"])
-    else:
-        text = jnp.asarray(np.random.default_rng(0).normal(
-            0, 0.2, (1, args.seq_txt, cfg.text_dim)).astype(np.float32))
+    vcfg = WanVAEConfig.tiny(z_dim=cfg.in_channels,
+                             latents_mean=(0.0,) * cfg.in_channels,
+                             latents_std=(1.0,) * cfg.in_channels)
+    vae = WanVideoVAE(vcfg)
 
-    def vfn(lat, t, lora_scale=1.0):
-        return model.apply({"params": params}, lat, t, text)
+    hw = max(vcfg.spatial_factor * 2, int(config.resolution))
+    frames = int(config.sample.get("num_frames", 8))
+    lat_f = max(1, frames // vcfg.temporal_factor)
+    lat_hw = hw // vcfg.spatial_factor
+    # latent F/H/W must tile the transformer patch size
+    pt, ph, pw = cfg.patch_size
+    lat_f, lat_hw = max(pt, lat_f - lat_f % pt), max(ph, lat_hw - lat_hw % ph)
 
-    lat0 = jax.random.normal(
-        jax.random.PRNGKey(1),
-        (1, cfg.in_channels, args.frames, args.hw, args.hw))
-    scfg = WanSamplerConfig(num_steps=args.steps, kl_reward=args.kl_reward)
-    out = jax.jit(lambda l, k: wan_denoise_with_logprob(vfn, l, k, scfg))(
-        lat0, jax.random.PRNGKey(2))
-    print("mean logprob:", float(jnp.mean(out.log_probs)),
+    key, kl_, kt_, kv_ = jax.random.split(key, 4)
+    latents = jax.random.normal(kl_, (1, cfg.in_channels, lat_f, lat_hw, lat_hw))
+    txt = jax.random.normal(kt_, (1, 6, cfg.text_dim))
+    if not model_dir:
+        variables = jax.jit(
+            lambda k: model.init(k, latents, jnp.ones((1,)), txt)
+        )(jax.random.PRNGKey(1))
+    vae_vars = jax.jit(vae.init)(
+        kv_, jnp.zeros((1, 3, lat_f * vcfg.temporal_factor,
+                        lat_hw * vcfg.spatial_factor,
+                        lat_hw * vcfg.spatial_factor)))
+
+    def velocity_fn(lat, t, lora_scale):
+        # lora_scale=0 is the adapter-free reference policy; random-init demo
+        # has no adapter, so both policies coincide (KL == 0) unless real
+        # weights carry a LoRA — the rollout path is identical either way
+        return model.apply(variables, lat, t, txt)
+
+    kl_reward = (args.kl_reward if args.kl_reward is not None
+                 else float(config.sample.get("kl_reward", 0.0)))
+    scfg = WanSamplerConfig(num_steps=int(config.sample.num_steps),
+                            deterministic=args.deterministic,
+                            kl_reward=kl_reward)
+    out = jax.jit(
+        lambda l, k: wan_denoise_with_logprob(velocity_fn, l, k, scfg)
+    )(latents, jax.random.PRNGKey(args.seed + 1))
+
+    video = vae.apply(vae_vars, out.final_latents, method=vae.decode)
+    vid = np.asarray(video[0], np.float32)  # (3, F, H, W) in [-1, 1]
+    strip = np.concatenate(list(vid.transpose(1, 0, 2, 3)), axis=-1)  # (3, H, F*W)
+    u8 = images_to_uint8(strip[None])[0]
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    tag = "det" if args.deterministic else f"sde_kl{kl_reward:g}"
+    path = os.path.join(args.out_dir, f"wan_{tag}.png")
+    Image.fromarray(u8).save(path)
+    print(path, "mean logprob:", float(jnp.mean(out.log_probs)),
           "mean KL:", float(jnp.mean(out.kl)))
-    np.savez(args.out, latents=np.asarray(out.final_latents),
-             logprobs=np.asarray(out.log_probs), kl=np.asarray(out.kl))
-    print("wrote", args.out)
 
 
 if __name__ == "__main__":
