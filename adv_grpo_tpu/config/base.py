@@ -113,7 +113,10 @@ def get_config() -> ml_collections.ConfigDict:
     tpu.compute_dtype = ""
     tpu.remat = True
     # "save_attn" keeps attention outputs through the bwd (skips flash-kernel
-    # recompute in the remat re-forward); "full" recomputes everything
+    # recompute in the remat re-forward); "save_attn_ff"/"save_attn_qkv"/
+    # "save_big" additionally keep fc1 / qkv projection outputs (less
+    # re-forward work, more HBM — see models.mmdit.MMDiTConfig);
+    # "full" recomputes everything
     tpu.remat_policy = "save_attn"
     tpu.attention_backend = ml_collections.config_dict.placeholder(str)
     tpu.profile_dir = ""

@@ -38,6 +38,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from adv_grpo_tpu.models.lora import LoRADense, fused_qkv_proj
 from adv_grpo_tpu.ops.joint_attention import joint_mha, mha_rms
@@ -71,7 +72,15 @@ class MMDiTConfig:
     # "full" recomputes the whole block in bwd; "save_attn" keeps the three
     # attention outputs (joint x/ctx + dual) so the flash kernels don't run
     # again in the remat re-forward (~2.1GB extra live activations per
-    # microstep at CFG-16/512^2 — fits v5e HBM)
+    # microstep at CFG-16/512^2 — fits v5e HBM). Richer tiers trade HBM for
+    # less re-forward work (all matmul outputs carry the same D flops/byte,
+    # so every extra saved byte buys the same recompute cut):
+    #   "save_attn_ff"  also keeps the 4x-wide fc1 outputs (+~5.5GB @CFG-16)
+    #   "save_attn_qkv" also keeps the q/k/v projections   (+~4.3GB @CFG-16)
+    #   "save_big"      keeps all of the above
+    # Measured (scripts/profile_train_remat.py): all three richer tiers
+    # RESOURCE_EXHAUSTED on a 16GB v5e at the production shape — they are
+    # for v5p/v6e-class HBM, where they cut the ~25% remat re-forward.
     remat_policy: str = "save_attn"
     attention_backend: Optional[str] = None  # None = auto per platform
     # q/k/v (and their LoRA A factors) projected by ONE matmul per stream —
@@ -237,6 +246,10 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim * 4, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc1")(x)
+        # named for the "save_attn_ff"/"save_big" remat tiers: saving the
+        # pre-GELU fc1 output skips the block's single largest matmul in the
+        # remat re-forward (fc2's input is then one cheap elementwise GELU)
+        h = checkpoint_name(h, "ff1")
         h = nn.gelu(h, approximate=True)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                         name="fc2")(h)
@@ -276,6 +289,11 @@ class JointAttention(nn.Module):
             cq = proj("add_q_proj", ctx)
             ck = proj("add_k_proj", ctx)
             cv = proj("add_v_proj", ctx)
+        # named for the "save_attn_qkv"/"save_big" remat tiers: the flash
+        # BACKWARD kernel consumes q/k/v, so saving them skips the qkv
+        # matmul recompute in the remat re-forward
+        q, k, v, cq, ck, cv = (checkpoint_name(t, "qkv_out")
+                               for t in (q, k, v, cq, ck, cv))
 
         # the two streams are never concatenated: ops.joint_attention walks
         # them as two online-softmax kv blocks, with the per-head RMS qk-norm
@@ -324,6 +342,7 @@ class DualSelfAttention(nn.Module):
             q = dense("to_q")(x)  # (B, s, dim), BSHD layout end to end
             k = dense("to_k")(x)
             v = dense("to_v")(x)
+        q, k, v = (checkpoint_name(t, "qkv_out") for t in (q, k, v))
         # qk-RMS fused into the flash kernel (ops.joint_attention.mha_rms);
         # at 512^2 the image stream is 1024 tokens — zero layout copies
         rms_weights = None
@@ -439,15 +458,20 @@ class MMDiT(nn.Module):
 
         block_cls = JointBlock
         if c.remat:
-            if c.remat_policy == "save_attn":
-                policy = jax.checkpoint_policies.save_only_these_names(
-                    "attn_out")
-            elif c.remat_policy == "full":  # recompute everything
-                policy = None
-            else:
+            saved_names = {
+                "save_attn": ("attn_out",),
+                "save_attn_ff": ("attn_out", "ff1"),
+                "save_attn_qkv": ("attn_out", "qkv_out"),
+                "save_big": ("attn_out", "ff1", "qkv_out"),
+                "full": None,  # recompute everything
+            }
+            if c.remat_policy not in saved_names:
                 raise ValueError(
                     f"unknown remat_policy {c.remat_policy!r}: "
-                    f"expected 'save_attn' or 'full'")
+                    f"expected one of {sorted(saved_names)}")
+            names = saved_names[c.remat_policy]
+            policy = (jax.checkpoint_policies.save_only_these_names(*names)
+                      if names else None)
             block_cls = nn.remat(JointBlock, static_argnums=(), policy=policy)
         for i in range(c.num_layers):
             x, ctx = block_cls(

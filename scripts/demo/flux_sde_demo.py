@@ -12,6 +12,14 @@ the real model (``models.convert.load_flux_transformer``). ``--kontext`` packs
 a conditioning image latent and concatenates it along the token sequence each
 step (reference flux_kontext_pipeline_with_logprob.py:209-211).
 """
+import os
+import sys
+
+# runnable as `python scripts/demo/<name>.py` from anywhere: the repo root is
+# not on sys.path in that invocation
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
 
 import argparse
 

@@ -1,6 +1,14 @@
 """Noise-level sweep demo (reference scripts/demo/sd3_sde_demo.py capability):
 renders the same prompt at several noise levels with the CPS sampler to
 visualise the stochasticity-quality tradeoff."""
+import os
+import sys
+
+# runnable as `python scripts/demo/<name>.py` from anywhere: the repo root is
+# not on sys.path in that invocation
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
 
 import argparse
 

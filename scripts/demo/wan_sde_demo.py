@@ -12,6 +12,14 @@ default; set ``WAN_DIR`` to a local diffusers WanTransformer3DModel directory
 (``models.convert.load_wan_transformer``) — the tiny VAE still decodes unless
 a converted WAN VAE is wired in by the caller.
 """
+import os
+import sys
+
+# runnable as `python scripts/demo/<name>.py` from anywhere: the repo root is
+# not on sys.path in that invocation
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
 
 import argparse
 

@@ -5,6 +5,13 @@ rollout MFU that scripts/profile_rollout.py measures end-to-end.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable as `python scripts/<name>.py` from anywhere: the repo root (the
+# adv_grpo_tpu package parent) is not on sys.path in that invocation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -6,6 +6,7 @@ Tiny configs, jitted once each — CPU-friendly (SURVEY.md §4).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from adv_grpo_tpu.models.mmdit import (
     MMDiT, MMDiTConfig, sincos_timestep_embedding, make_2d_sincos_pos_embed,
@@ -92,6 +93,42 @@ class TestMMDiT:
                                        self.pooled, lora_scale=0.7)
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
                                    atol=2e-5)
+
+    def test_remat_policies_preserve_values_and_grads(self):
+        # every remat tier (save_attn / +qkv / +ff1 / save_big / full) must be
+        # a pure memory/recompute trade: outputs AND LoRA grads bit-match the
+        # no-remat graph (the policies only change what the re-forward skips)
+        import dataclasses
+
+        lp = lora_params(self.vars["params"])
+        bumped = {k: v + 0.02 for k, v in lp.items() if k.endswith("lora_b")}
+
+        def loss_fn(model):
+            def f(lora_flat):
+                params = merge_lora_params(self.vars["params"], lora_flat)
+                out = model.apply({**self.vars, "params": params}, self.lat,
+                                  self.t, self.ctx, self.pooled)
+                return jnp.sum(out ** 2)
+            return jax.jit(jax.value_and_grad(f))(bumped)
+
+        base_val, base_grad = loss_fn(self.model)  # tiny() -> remat=False
+        for policy in ("save_attn", "save_attn_qkv", "save_attn_ff",
+                       "save_big", "full"):
+            cfg_r = dataclasses.replace(self.cfg, remat=True,
+                                        remat_policy=policy)
+            val, grad = loss_fn(MMDiT(cfg_r))
+            np.testing.assert_allclose(np.asarray(val), np.asarray(base_val),
+                                       rtol=1e-6, err_msg=policy)
+            # remat changes XLA fusion order, not math: fp32 grads agree to
+            # accumulation noise (~1e-4 relative measured), not bitwise
+            for k in base_grad:
+                np.testing.assert_allclose(
+                    np.asarray(grad[k]), np.asarray(base_grad[k]),
+                    rtol=1e-3, atol=1e-5, err_msg=f"{policy}:{k}")
+        with pytest.raises(ValueError):
+            MMDiT(dataclasses.replace(self.cfg, remat=True,
+                                      remat_policy="bogus")).apply(
+                self.vars, self.lat, self.t, self.ctx, self.pooled)
 
     def test_timestep_embedding_semantics(self):
         emb = sincos_timestep_embedding(jnp.array([0.0]), 8)
