@@ -55,6 +55,17 @@ def get_config() -> ml_collections.ConfigDict:
     train.adam_weight_decay = 1e-4
     train.adam_epsilon = 1e-8
     train.gradient_accumulation_steps = 1
+    # TPU addition (no reference analogue): split every training microbatch
+    # into this many sequential sub-microbatches along the SAMPLE axis, with
+    # gradient accumulation scaled to keep optimizer-step boundaries — and
+    # therefore gradients — mathematically identical (the GRPO loss is a
+    # per-sample mean; MultiSteps averages the accumulated micro-grads).
+    # Halving the live batch halves BOTH the remat-saved residuals and the
+    # re-forward working set, which is what admits the richer remat tiers
+    # (tpu.remat_policy save_big) within v5e HBM — the lever that removes the
+    # ~25% remat re-forward from every microstep (VERDICT r3 next-1). Must
+    # divide the per-minibatch sample count AND keep it mesh-divisible.
+    train.micro_splits = 1
     train.max_grad_norm = 1.0
     train.num_inner_epochs = 1
     train.cfg = True

@@ -119,6 +119,10 @@ class GRPOTrainer:
         self.mini = int(s.mini_num_image_per_prompt)
         self.k = max(int(s.num_image_per_prompt) // self.mini, 1)
         self.num_batches = int(s.num_batches_per_epoch)
+        # sample-axis microbatch splitting (config/base.py train.micro_splits):
+        # gradients identical, live HBM per microstep divided by `splits` —
+        # the enabler for tpu.remat_policy=save_big on 16GB parts
+        self.micro_splits = max(int(config.train.get("micro_splits", 1)), 1)
 
         # same_latent: the reference fast sampler's group-shared prefix — one
         # latent per slot until the window opens (saves (1-1/mini) of the
@@ -349,6 +353,25 @@ class GRPOTrainer:
             pooled=samples["pooled"],
         )
         n = data["latents"].shape[0]
+        n_micro = self.num_batches * self.micro_splits
+        if self.micro_splits > 1:
+            # rebatch_for_training silently truncates non-divisible rows and
+            # put_tree needs mesh-divisible shards — both would corrupt the
+            # schedule silently, so fail loudly instead
+            if n % n_micro != 0:
+                raise ValueError(
+                    f"train.micro_splits={self.micro_splits} does not divide "
+                    f"the minibatch: {n} rows / {self.num_batches} minibatches "
+                    f"is not divisible by {self.micro_splits}")
+            # this process's rows feed its local devices (multi-host) or the
+            # whole mesh (single-controller)
+            local_dev = (self.n_dev if jax.process_count() == 1
+                         else jax.local_device_count())
+            if local_dev > 1 and (n // n_micro) % local_dev != 0:
+                raise ValueError(
+                    f"train.micro_splits={self.micro_splits} leaves "
+                    f"{n // n_micro} local rows per microbatch, not divisible "
+                    f"by the {local_dev} local devices on the data axis")
         inner_epochs = max(int(self.config.train.num_inner_epochs), 1)
         infos = []
         with self.timer("train"):
@@ -366,7 +389,7 @@ class GRPOTrainer:
                     perm = np.random.default_rng(
                         (self.epoch + 1) * 7919 + inner).permutation(n)
                     d = {k: v[perm] for k, v in data.items()}
-                batched = rebatch_for_training(d, self.num_batches)
+                batched = rebatch_for_training(d, n_micro)
                 bs = batched["latents"].shape[1]
                 neg_e, neg_p = self._neg(bs)
                 # minibatch axis replicated, batch axis sharded on 'data'

@@ -63,7 +63,13 @@ def make_optimizer(train_cfg, accum_steps: int) -> optax.GradientTransformation:
 
 def create_generator_state(lora_subtree, train_cfg, train_num_steps: int,
                            use_ema: Optional[bool] = None) -> GeneratorState:
-    accum = int(train_cfg.gradient_accumulation_steps) * int(train_num_steps)
+    # micro_splits multiplies the accumulation count so optimizer-step
+    # boundaries land on the same SAMPLES as the unsplit schedule: each split
+    # sub-microbatch contributes its per-sample-mean grad, and MultiSteps'
+    # average of splits-times-more grads over splits-times-fewer samples each
+    # equals the unsplit average (config/base.py train.micro_splits).
+    accum = (int(train_cfg.gradient_accumulation_steps) * int(train_num_steps)
+             * max(int(train_cfg.get("micro_splits", 1)), 1))
     tx = make_optimizer(train_cfg, accum)
     use_ema = bool(train_cfg.ema) if use_ema is None else use_ema
     ema = ema_init(lora_subtree) if use_ema else None

@@ -15,10 +15,9 @@ a converted WAN VAE is wired in by the caller.
 import os
 import sys
 
-# runnable as `python scripts/demo/<name>.py` from anywhere: the repo root is
-# not on sys.path in that invocation
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))))
+# repo-root bootstrap shared by all scripts (scripts/_path.py)
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import _path  # noqa: E402,F401
 
 
 import argparse

@@ -10,9 +10,8 @@ from __future__ import annotations
 import os
 import sys
 
-# runnable as `python scripts/<name>.py` from anywhere: the repo root (the
-# adv_grpo_tpu package parent) is not on sys.path in that invocation
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# repo-root bootstrap shared by all scripts (scripts/_path.py)
+import _path  # noqa: F401
 
 import time
 

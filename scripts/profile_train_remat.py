@@ -1,4 +1,4 @@
-"""Train-microstep remat-policy shootout on the real chip.
+"""Train-microstep (remat policy x micro_splits) shootout on the real chip.
 
 The GRPO microstep's standard-convention MFU gap (0.48 vs 0.65
 remat-inclusive, BENCH_r02/r03) is pure remat re-forward work. Every matmul
@@ -8,27 +8,36 @@ save-policies trade HBM linearly for re-forward cuts:
   save_attn      (default)  attention o/lse only          (~2.1GB saved acts)
   save_attn_qkv  + q/k/v projections                      (+~4.3GB)
   save_attn_ff   + pre-GELU fc1 outputs                   (+~5.5GB)
-  save_big       all of the above                         (likely OOM on v5e)
+  save_big       all of the above
 
-This probe times ONE production-shape microstep (CFG-16, 512^2, window 2)
-per policy and prints device memory stats, so the config default is chosen
-from measurement, not estimates. Policies are ordered smallest-first and
-individually guarded — an OOM on a rich tier still reports the cheaper ones.
+Round 3 measured all three richer tiers RESOURCE_EXHAUSTED at the production
+CFG-16 shape on a 16GB v5e. The round-4 lever is ``train.micro_splits``
+(config/base.py): splitting every microbatch into S sequential sub-batches
+along the SAMPLE axis divides BOTH the saved residuals and the re-forward
+working set by S with mathematically identical gradients (the GRPO loss is a
+per-sample mean and MultiSteps averages micro-grads; equivalence is
+CI-asserted in tests/test_trainer_e2e.py). This beats sequencing the
+uncond/cond CFG halves (VERDICT r3's suggestion): the halves stay coupled
+through the guidance combine, so their saved residuals persist jointly
+through the backward — sequencing them halves only the working set, while
+the sample split halves the residuals too.
 
-Measured (virtualized v5e, 16GB, 2026-08-19): save_attn 1.088 s/microstep;
-save_attn_qkv / save_attn_ff / save_big all RESOURCE_EXHAUSTED at this shape
-— the v5e default stays save_attn. The richer tiers are for larger-HBM parts
-(v5p 95GB, v6e 32GB), where the ~25% remat re-forward is recoverable.
+This probe times production-shape microsteps (CFG-16-equivalent, 512^2,
+window 2) over a (policy, splits) grid and prints device memory stats, so
+the config default is chosen from measurement. Grid points are individually
+guarded — an OOM on a rich tier still reports the cheaper ones — and each
+point's buffers are deleted before the next compiles (an OOM verdict must
+not be skewed by the previous tier's leftovers).
+
+All reported times are per CFG-16-EQUIVALENT microstep (total / (N_MINI*T)
+with the ORIGINAL minibatch count), so splits>1 rows compare directly
+against the splits=1 baseline.
 """
 
 from __future__ import annotations
 
-import os
-import sys
-
-# runnable as `python scripts/<name>.py` from anywhere: the repo root (the
-# adv_grpo_tpu package parent) is not on sys.path in that invocation
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# repo-root bootstrap shared by all scripts (scripts/_path.py)
+import _path  # noqa: F401
 
 import time
 
@@ -86,31 +95,45 @@ def main():
 
     scfg = SamplerConfig(num_steps=10, train_num_steps=train_T,
                          guidance_scale=4.5, noise_level=0.8)
-    train_cfg = ml_collections.ConfigDict(dict(
-        learning_rate=3e-4, adam_beta1=0.9, adam_beta2=0.999,
-        adam_epsilon=1e-8, adam_weight_decay=1e-4, max_grad_norm=1.0,
-        gradient_accumulation_steps=1, clip_range=1e-5, adv_clip_max=5.0,
-        ema=True, ema_decay=0.9, ema_interval=8, beta=0.0))
 
     C = mcfg0.in_channels
-    N_MINI = 2
-    embeds = jnp.full((batch, seq_txt, mcfg0.joint_attention_dim), 0.01,
-                      jnp.bfloat16)
-    pooled = jnp.full((batch, mcfg0.pooled_projection_dim), 0.01, jnp.bfloat16)
-    neg_e, neg_p = jnp.zeros_like(embeds), jnp.zeros_like(pooled)
-    tile = lambda a: jnp.broadcast_to(a[None], (N_MINI,) + a.shape)
-    samples = dict(
-        latents=jnp.zeros((N_MINI, batch, train_T + 1, C, latent_hw,
-                           latent_hw)),
-        log_probs=jnp.zeros((N_MINI, batch, train_T)),
-        timesteps=jnp.full((N_MINI, batch, train_T), 500.0),
-        sigmas=jnp.full((N_MINI, batch, train_T), 0.5),
-        sigmas_prev=jnp.full((N_MINI, batch, train_T), 0.4),
-        advantages=jnp.ones((N_MINI, batch)),
-        embeds=tile(embeds), pooled=tile(pooled))
+    N_MINI = 2  # ORIGINAL minibatch count — all times normalised to it
 
-    for policy in ("save_attn", "save_attn_qkv", "save_attn_ff", "save_big"):
+    def make_samples(splits: int):
+        """(N_MINI*splits, batch//splits, ...) sub-microbatches — exactly what
+        driver.train_phase produces via rebatch_for_training at micro_splits."""
+        n_mini, bs = N_MINI * splits, batch // splits
+        embeds = jnp.full((bs, seq_txt, mcfg0.joint_attention_dim), 0.01,
+                          jnp.bfloat16)
+        pooled = jnp.full((bs, mcfg0.pooled_projection_dim), 0.01, jnp.bfloat16)
+        tile = lambda a: jnp.broadcast_to(a[None], (n_mini,) + a.shape)
+        samples = dict(
+            latents=jnp.zeros((n_mini, bs, train_T + 1, C, latent_hw,
+                               latent_hw)),
+            log_probs=jnp.zeros((n_mini, bs, train_T)),
+            timesteps=jnp.full((n_mini, bs, train_T), 500.0),
+            sigmas=jnp.full((n_mini, bs, train_T), 0.5),
+            sigmas_prev=jnp.full((n_mini, bs, train_T), 0.4),
+            advantages=jnp.ones((n_mini, bs)),
+            embeds=tile(embeds), pooled=tile(pooled))
+        neg_e = jnp.zeros((bs, seq_txt, mcfg0.joint_attention_dim),
+                          jnp.bfloat16)
+        neg_p = jnp.zeros((bs, mcfg0.pooled_projection_dim), jnp.bfloat16)
+        return samples, neg_e, neg_p
+
+    GRID = [("save_attn", 1), ("save_attn", 2), ("save_attn_qkv", 2),
+            ("save_attn_ff", 2), ("save_big", 2), ("save_big", 4)]
+
+    for policy, splits in GRID:
+        st = state = train_fn = pipe = samples = None
         try:
+            train_cfg = ml_collections.ConfigDict(dict(
+                learning_rate=3e-4, adam_beta1=0.9, adam_beta2=0.999,
+                adam_epsilon=1e-8, adam_weight_decay=1e-4, max_grad_norm=1.0,
+                gradient_accumulation_steps=1, micro_splits=splits,
+                clip_range=1e-5, adv_clip_max=5.0, ema=True, ema_decay=0.9,
+                ema_interval=8, beta=0.0))
+            samples, neg_e, neg_p = make_samples(splits)
             mcfg = MMDiTConfig.sd35_medium(lora_rank=32, lora_alpha=64.0,
                                            remat_policy=policy)
             pipe = SD3Pipeline(mcfg, vcfg, MMDiT(mcfg), vae, tvars, vvars,
@@ -130,12 +153,17 @@ def main():
                 t0 = time.perf_counter()
                 st = once(st)
                 ts.append(time.perf_counter() - t0)
-            dt = sorted(ts)[1] / (N_MINI * train_T)
-            print(f"{policy:15s} microstep {dt:.3f} s   mem {device_mem_gb()}",
-                  flush=True)
+            dt = sorted(ts)[1] / (N_MINI * train_T)  # CFG-16-equivalent
+            print(f"{policy:15s} x{splits}  microstep(eq) {dt:.3f} s   "
+                  f"mem {device_mem_gb()}", flush=True)
         except Exception as e:  # noqa: BLE001 — report and try the next tier
-            print(f"{policy:15s} FAILED: {type(e).__name__}: "
+            print(f"{policy:15s} x{splits}  FAILED: {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
+        finally:
+            # free this tier's device objects BEFORE the next one compiles —
+            # leftover allocations would skew the next tier's OOM verdict
+            del st, state, train_fn, pipe, samples
+            jax.clear_caches()
 
 
 if __name__ == "__main__":

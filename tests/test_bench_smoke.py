@@ -6,6 +6,10 @@ emission) and asserts the contract the driver consumes — one JSON line with
 the headline keys and no phase errors.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import pathlib

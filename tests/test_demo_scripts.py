@@ -6,6 +6,10 @@ wan_pipeline_with_logprob.py); these tests run our equivalents as real
 subprocesses on tiny random-init models and assert they produce outputs.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import pathlib
 import subprocess

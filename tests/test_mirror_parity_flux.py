@@ -9,6 +9,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 
 import jax.numpy as jnp

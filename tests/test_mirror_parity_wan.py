@@ -3,6 +3,8 @@ WanTransformer3DModel graph (VERDICT r2 #1 extension)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 
 import jax.numpy as jnp

@@ -100,21 +100,29 @@ class TestMMDiT:
         # no-remat graph (the policies only change what the re-forward skips)
         import dataclasses
 
-        lp = lora_params(self.vars["params"])
+        # 2 layers (vs the class's 4): the policies act per block, so two
+        # blocks (one dual-attention, one context_pre_only) exercise every
+        # save-name site while keeping the 6 value_and_grad compiles cheap
+        cfg2 = dataclasses.replace(self.cfg, num_layers=2,
+                                   dual_attention_layers=(0,))
+        model2 = MMDiT(cfg2)
+        vars2 = jax.jit(model2.init)(jax.random.PRNGKey(0), self.lat, self.t,
+                                     self.ctx, self.pooled)
+        lp = lora_params(vars2["params"])
         bumped = {k: v + 0.02 for k, v in lp.items() if k.endswith("lora_b")}
 
         def loss_fn(model):
             def f(lora_flat):
-                params = merge_lora_params(self.vars["params"], lora_flat)
-                out = model.apply({**self.vars, "params": params}, self.lat,
+                params = merge_lora_params(vars2["params"], lora_flat)
+                out = model.apply({**vars2, "params": params}, self.lat,
                                   self.t, self.ctx, self.pooled)
                 return jnp.sum(out ** 2)
             return jax.jit(jax.value_and_grad(f))(bumped)
 
-        base_val, base_grad = loss_fn(self.model)  # tiny() -> remat=False
+        base_val, base_grad = loss_fn(model2)  # tiny() -> remat=False
         for policy in ("save_attn", "save_attn_qkv", "save_attn_ff",
                        "save_big", "full"):
-            cfg_r = dataclasses.replace(self.cfg, remat=True,
+            cfg_r = dataclasses.replace(cfg2, remat=True,
                                         remat_policy=policy)
             val, grad = loss_fn(MMDiT(cfg_r))
             np.testing.assert_allclose(np.asarray(val), np.asarray(base_val),

@@ -84,6 +84,41 @@ class TestTrainerE2E:
                     for k, b in trainer.state.lora.items())
         assert delta > 0
 
+    def test_micro_splits_gradient_equivalence(self, tiny_pipeline):
+        # train.micro_splits halves the live microbatch (the HBM lever that
+        # admits remat_policy=save_big) but must leave the training
+        # trajectory mathematically unchanged: same optimizer-step
+        # boundaries, same accumulated gradients, same final weights
+        t1 = make_trainer(tiny_pipeline, tiny_config())
+        cfg2 = tiny_config()
+        cfg2.train.micro_splits = 2
+        t2 = make_trainer(tiny_pipeline, cfg2)
+        t1.run(max_epochs=1)
+        t2.run(max_epochs=1)
+        assert int(t2.state.micro_step) == 2 * int(t1.state.micro_step)
+        assert int(t2.state.global_step) == int(t1.state.global_step)
+        for k in t1.state.lora:
+            np.testing.assert_allclose(
+                np.asarray(t2.state.lora[k]), np.asarray(t1.state.lora[k]),
+                rtol=2e-4, atol=2e-6, err_msg=k)
+        # epoch-mean loss over equal-sized sub-batches equals the unsplit mean
+        # (atol: the GRPO loss at clip_range 1e-5 is ~1e-6 — pure fp32
+        # accumulation noise territory)
+        np.testing.assert_allclose(t2.last_inner_losses, t1.last_inner_losses,
+                                   rtol=1e-2, atol=1e-8)
+
+    def test_micro_splits_divisibility_errors(self, tiny_pipeline):
+        cfg = tiny_config()
+        cfg.train.micro_splits = 3  # 64 rows / (2*3) microbatches: ragged
+        trainer = make_trainer(tiny_pipeline, cfg)
+        with pytest.raises(ValueError, match="micro_splits"):
+            trainer.run(max_epochs=1)
+        cfg = tiny_config()
+        cfg.train.micro_splits = 8  # 4 rows per microbatch on an 8-dev mesh
+        trainer = make_trainer(tiny_pipeline, cfg)
+        with pytest.raises(ValueError, match="local devices"):
+            trainer.run(max_epochs=1)
+
     def test_metrics_written(self, tiny_pipeline, tmp_path):
         cfg = tiny_config()
         cfg.save_dir = str(tmp_path)
