@@ -82,11 +82,32 @@ def pickscore_d_step_loss(scorer, params, images_real, images_fake, input_ids,
                           *, axis_name=None):
     """Full D-step loss: featurise through the live scorer then the criterion
     with labels (1, 0) (reference train_pickscore, :151-183)."""
+    loss, _ = pickscore_d_step_loss_and_acc(
+        scorer, params, images_real, images_fake, input_ids,
+        axis_name=axis_name)
+    return loss
+
+
+def pickscore_d_step_loss_and_acc(scorer, params, images_real, images_fake,
+                                  input_ids, *, axis_name=None,
+                                  in_batch_negatives=False):
+    """D-step loss plus preference accuracy: the fraction of pairs where the
+    scorer ranks the real (reference) image above the generated one — the
+    D-health metric the reference's PickScore branch never logs (it reports
+    only loss, train_sd3_fast_pickscore.py:1032-1034; the DINO branch reports
+    accuracy, ..._dino_patch.py:156-232) and evaluate_pickscore approximates
+    offline (pick_score_training.py:19-73). Accuracy is computed on this
+    shard's pairs (no gather) — it is a diagnostic, not a loss term."""
     img_r, txt = scorer.features(params, images_real, input_ids)
     img_f, _ = scorer.features(params, images_fake, input_ids)
     batch = CLIPCriterionBatch(
         text_features=txt, image_0_features=img_r, image_1_features=img_f,
         label_0=jnp.ones(txt.shape[0]), label_1=jnp.zeros(txt.shape[0]),
     )
-    return clip_criterion_loss(batch, jnp.exp(params["logit_scale"]),
-                               axis_name=axis_name)
+    loss = clip_criterion_loss(batch, jnp.exp(params["logit_scale"]),
+                               axis_name=axis_name,
+                               in_batch_negatives=in_batch_negatives)
+    s_r = jnp.sum(txt * img_r, axis=-1)  # logit_scale cancels in the compare
+    s_f = jnp.sum(txt * img_f, axis=-1)
+    acc = jnp.mean((s_r > s_f).astype(jnp.float32))
+    return loss, jax.lax.stop_gradient(acc)

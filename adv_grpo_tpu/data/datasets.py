@@ -171,6 +171,66 @@ class ReferenceImageStore:
         return np.stack(out)
 
 
+class PreferencePairDataset:
+    """(prompt, good image, bad image) triples from a prompt2img.json shared
+    by two image directories — the reference's ``QwenSD3JsonDataset``
+    (adv_grpo/pick_score_training.py:228-282): good = Qwen reference render,
+    bad = SD3 render of the same prompt, same filename in both dirs. A pair
+    with a missing good file degrades to (bad, bad) exactly like the
+    reference (:252-257). Images load as float32 (3, H, W) in [-1, 1]."""
+
+    def __init__(self, json_path: str, good_dir: str, bad_dir: str,
+                 resolution: int = 224):
+        with open(json_path) as f:
+            self.prompt2img = json.load(f)
+        self.prompts = list(self.prompt2img.keys())
+        self.good_dir = good_dir
+        self.bad_dir = bad_dir
+        # reuse the store's loader (native batch decode when available)
+        self._store = ReferenceImageStore.__new__(ReferenceImageStore)
+        self._store.resolution = resolution
+        self._store.fallback_path = None
+        self._store.strict = False
+
+    def __len__(self):
+        return len(self.prompts)
+
+    def _resolve(self, idx: int):
+        prompt = self.prompts[idx]
+        fname = self.prompt2img[prompt]
+        if isinstance(fname, list):  # multi-variation JSON: first render
+            fname = fname[0]
+        good = os.path.join(self.good_dir, fname)
+        bad = os.path.join(self.bad_dir, fname)
+        if not (os.path.exists(good) and os.path.exists(bad)):
+            good = bad  # reference fallback :252-257
+        return prompt, good, bad
+
+    def __getitem__(self, idx: int):
+        prompt, good, bad = self._resolve(idx)
+        return {"prompt": prompt,
+                "good": self._store._load_one(good),
+                "bad": self._store._load_one(bad)}
+
+    def get_batch(self, indices: Sequence[int]):
+        """Batched load through the native loader: (prompts, good (B,3,H,W),
+        bad (B,3,H,W))."""
+        from adv_grpo_tpu.native.lib import load_images_chw
+
+        triples = [self._resolve(i) for i in indices]
+        flat = [p for _, g, b in triples for p in (g, b)]
+        native = load_images_chw(flat, self._store.resolution)
+        if native is None:
+            rows = [self[i] for i in indices]
+            return ([r["prompt"] for r in rows],
+                    np.stack([r["good"] for r in rows]),
+                    np.stack([r["bad"] for r in rows]))
+        images, ok = native
+        fb = self._store._fallback()
+        images = np.where(ok[:, None, None, None], images, fb[None])
+        return ([t[0] for t in triples], images[0::2], images[1::2])
+
+
 # ───────────────────────── prompt functions (adv_grpo/prompts.py) ─────────────
 
 

@@ -252,9 +252,11 @@ def scorer_trainable_mask(params, tune_layer: int):
 def make_pickscore_d_step(scorer, tune_layer: int, d_lr: float):
     """Adversarial PickScore D-step: CLIPCriterion(real=refs, fake=generated),
     Adam(d_lr, betas (0.5, 0.999)) on the unfrozen tail layers (reference
-    :151-183, :655-658)."""
+    :151-183, :655-658). Also returns preference accuracy (real ranked above
+    fake) as a D-health diagnostic the reference never logged."""
     import optax
-    from adv_grpo_tpu.adversarial.clip_criterion import pickscore_d_step_loss
+    from adv_grpo_tpu.adversarial.clip_criterion import (
+        pickscore_d_step_loss_and_acc)
 
     def make(params):
         mask = scorer_trainable_mask(params, tune_layer)
@@ -263,12 +265,13 @@ def make_pickscore_d_step(scorer, tune_layer: int, d_lr: float):
 
         @jax.jit
         def step(params, opt_state, images_real, images_fake, input_ids):
-            loss, grads = jax.value_and_grad(
-                lambda p: pickscore_d_step_loss(scorer, p, images_real,
-                                                images_fake, input_ids))(params)
+            (loss, acc), grads = jax.value_and_grad(
+                lambda p: pickscore_d_step_loss_and_acc(
+                    scorer, p, images_real, images_fake, input_ids),
+                has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, opt_state, loss, acc
 
         return step, opt_state
 
