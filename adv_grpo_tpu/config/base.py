@@ -66,6 +66,12 @@ def get_config() -> ml_collections.ConfigDict:
     # ~25% remat re-forward from every microstep (VERDICT r3 next-1). Must
     # divide the per-minibatch sample count AND keep it mesh-divisible.
     train.micro_splits = 1
+    # TPU addition: score the CFG uncond/cond halves of the training
+    # re-forward as two sequential B-sized transformer calls instead of one
+    # 2B-batched call. Identical gradients (the halves are independent until
+    # the guidance combine); halves the remat re-forward working set, so it
+    # composes with micro_splits to fit richer remat tiers on 16GB parts.
+    train.cfg_sequential = False
     train.max_grad_norm = 1.0
     train.num_inner_epochs = 1
     train.cfg = True

@@ -41,6 +41,15 @@ class SamplerConfig:
     noise_level: float = 0.7
     shift: float = 3.0
     num_train_timesteps: int = 1000
+    # Training re-forward only: run the CFG uncond/cond halves as TWO
+    # sequential B-sized transformer calls instead of one 2B-batched call.
+    # Same math (CFG halves are independent until the guidance combine,
+    # reference sd3_pipeline_with_logprob_fast.py:625-642), but the remat
+    # re-forward working set during the backward halves — the HBM lever that
+    # composes with train.micro_splits to admit the richer remat tiers
+    # (save_big) on 16GB v5e parts. Rollout keeps the batched form: under
+    # lax.scan there is no autodiff, so the 2B batch is pure MXU win.
+    cfg_sequential: bool = False
 
     @property
     def do_cfg(self) -> bool:
@@ -230,7 +239,15 @@ def compute_log_prob(
     reference ``compute_log_prob`` (train_sd3_fast_pickscore.py:233-267).
     Returns (log_prob, prev_sample_mean, std_dev_t).
     """
-    if cfg.do_cfg:
+    if cfg.do_cfg and cfg.cfg_sequential:
+        # two sequential B-sized calls: identical per-sample math (no op in
+        # the transformer mixes across the batch axis), half the live
+        # activation working set in the backward re-forward
+        v_uncond = velocity_fn(latents_j, t_j, neg_prompt_embeds,
+                               neg_pooled_embeds)
+        v_cond = velocity_fn(latents_j, t_j, prompt_embeds, pooled_embeds)
+        v = v_uncond + cfg.guidance_scale * (v_cond - v_uncond)
+    elif cfg.do_cfg:
         model_in = jnp.concatenate([latents_j, latents_j], axis=0)
         tvec = jnp.concatenate([t_j, t_j], axis=0)
         embeds = jnp.concatenate([neg_prompt_embeds, prompt_embeds], axis=0)
