@@ -215,7 +215,9 @@ def wan_smoke():
     config.sample.noise_level = 0.7  # WAN SDE noise is schedule-driven
     config.sample.guidance_scale = 0.0  # reference WAN rollout is uncond CFG-free
     config.sample.kl_reward = 0.0
-    config.sample.num_frames = 8  # pixel frames (latent F = frames/temporal_factor)
+    # pixel frames, 1 mod temporal_factor (latent F' = 1 + (F-1)/tf; WAN
+    # checkpoints use 4k+1 frame counts, e.g. 81)
+    config.sample.num_frames = 9
     config.wandb_init = False
     config.save_dir = "logs/wan_smoke"
     config.case_name = "wan_smoke"

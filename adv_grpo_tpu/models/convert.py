@@ -703,14 +703,122 @@ def convert_wan(sd: Dict[str, np.ndarray], cfg) -> Dict:
 
 
 def convert_wan_vae(sd: Dict[str, np.ndarray], cfg) -> Dict:
-    """WAN 3D causal VAE checkpoint stats: reads the per-channel
-    latents_mean/latents_std the decode path needs
-    (wan_pipeline_with_logprob.py:354-363). Network weights use our own
-    TPU-native topology (models.wan_vae) — train/distill or convert offline;
-    here only the latent statistics are interchange-critical."""
-    mean = np.asarray(sd.get("latents_mean", np.zeros(cfg.z_dim, np.float32)))
-    std = np.asarray(sd.get("latents_std", np.ones(cfg.z_dim, np.float32)))
-    return {"latents_mean": mean.reshape(-1), "latents_std": std.reshape(-1)}
+    """diffusers AutoencoderKLWan -> models.wan_vae.WanVideoVAE (full
+    weights). The reference decodes WAN rollouts through this pretrained VAE
+    (wan_pipeline_with_logprob.py:353-363); parity-tested against the
+    chunked-cache torch mirror (tests/mirrors/wan_vae_torch.py). The
+    per-channel latents_mean/std live in the diffusers config.json, not the
+    state dict (see load_wan_vae)."""
+    g = _Taken(sd)
+
+    def conv3d(key):  # (O,I,kt,kh,kw) -> causal-conv scope {conv:{...}}
+        return {"conv": {"kernel": np.asarray(g(key + ".weight")).transpose(
+            2, 3, 4, 1, 0), "bias": g(key + ".bias")}}
+
+    def conv2d(key):  # (O,I,kh,kw) -> plain nn.Conv (kh,kw,I,O)
+        return {"kernel": np.asarray(g(key + ".weight")).transpose(2, 3, 1, 0),
+                "bias": g(key + ".bias")}
+
+    def conv_t(key):  # time conv (O,I,kt,1,1) -> nn.Conv (kt,1,1,I,O)
+        return {"kernel": np.asarray(g(key + ".weight")).transpose(
+            2, 3, 4, 1, 0), "bias": g(key + ".bias")}
+
+    def dense1x1(key):  # 1x1 Conv2d -> Dense (I,O)
+        w = np.asarray(g(key + ".weight"))
+        return {"kernel": w[:, :, 0, 0].T, "bias": g(key + ".bias")}
+
+    def rms(key):
+        return {"gamma": np.asarray(g(key + ".gamma")).reshape(-1)}
+
+    def res(key):
+        p = {"norm1": rms(key + ".norm1"), "conv1": conv3d(key + ".conv1"),
+             "norm2": rms(key + ".norm2"), "conv2": conv3d(key + ".conv2")}
+        if g.has(key + ".conv_shortcut.weight"):
+            p["conv_shortcut"] = conv3d(key + ".conv_shortcut")
+        return p
+
+    def attn(key):
+        return {"norm": rms(key + ".norm"),
+                "to_qkv": dense1x1(key + ".to_qkv"),
+                "proj": dense1x1(key + ".proj")}
+
+    def resample(key, temporal):
+        p = {"resample_conv": conv2d(key + ".resample.1")}
+        if temporal:
+            p["time_conv"] = conv_t(key + ".time_conv")
+        return p
+
+    def mid(key):
+        return {"res0": res(key + ".resnets.0"),
+                "attn0": attn(key + ".attentions.0"),
+                "res1": res(key + ".resnets.1")}
+
+    mults = tuple(cfg.dim_mult)
+    enc: Dict[str, Any] = {"conv_in": conv3d("encoder.conv_in"),
+                           "mid": mid("encoder.mid_block"),
+                           "norm_out": rms("encoder.norm_out"),
+                           "conv_out": conv3d("encoder.conv_out"),
+                           "quant_conv": conv3d("quant_conv")}
+    n, scale = 0, 1.0
+    for i in range(len(mults)):
+        for _ in range(cfg.num_res_blocks):
+            enc[f"down_{n}"] = res(f"encoder.down_blocks.{n}")
+            n += 1
+            if scale in cfg.attn_scales:
+                enc[f"down_{n}"] = attn(f"encoder.down_blocks.{n}")
+                n += 1
+        if i != len(mults) - 1:
+            enc[f"down_{n}"] = resample(f"encoder.down_blocks.{n}",
+                                        cfg.temperal_downsample[i])
+            n += 1
+            scale /= 2.0
+
+    dec: Dict[str, Any] = {"post_quant_conv": conv3d("post_quant_conv"),
+                           "conv_in": conv3d("decoder.conv_in"),
+                           "mid": mid("decoder.mid_block"),
+                           "norm_out": rms("decoder.norm_out"),
+                           "conv_out": conv3d("decoder.conv_out")}
+    t_up = tuple(cfg.temperal_downsample)[::-1]
+    n, scale = 0, 1.0 / 2 ** (len(mults) - 2)
+    for i in range(len(mults)):
+        for _ in range(cfg.num_res_blocks + 1):
+            dec[f"up_{n}"] = res(f"decoder.up_blocks.{n}")
+            n += 1
+            if scale in cfg.attn_scales:
+                dec[f"up_{n}"] = attn(f"decoder.up_blocks.{n}")
+                n += 1
+        if i != len(mults) - 1:
+            dec[f"up_{n}"] = resample(f"decoder.up_blocks.{n}", t_up[i])
+            n += 1
+            scale *= 2.0
+    g.assert_consumed("convert_wan_vae")
+    return {"encoder": enc, "decoder": dec}
+
+
+def load_wan_vae(vae_dir: str, *, dtype=None):
+    """(WanVAEConfig, params) from a local diffusers AutoencoderKLWan
+    directory — the VAE subfolder of the WanPipeline checkpoint the
+    reference loads (wan_pipeline_with_logprob.py:353-363). The latent
+    mean/std stats ride the config (diffusers keeps them in config.json)."""
+    import jax.numpy as jnp
+
+    from adv_grpo_tpu.models.wan_vae import WanVAEConfig
+
+    with open(os.path.join(vae_dir, "config.json")) as f:
+        tc = json.load(f)
+    z = tc.get("z_dim", 16)
+    cfg = WanVAEConfig(
+        z_dim=z,
+        base_dim=tc.get("base_dim", 96),
+        dim_mult=tuple(tc.get("dim_mult", (1, 2, 4, 4))),
+        num_res_blocks=tc.get("num_res_blocks", 2),
+        attn_scales=tuple(tc.get("attn_scales", ())),
+        temperal_downsample=tuple(
+            tc.get("temperal_downsample", (False, True, True))),
+        latents_mean=tuple(tc.get("latents_mean", (0.0,) * z)),
+        latents_std=tuple(tc.get("latents_std", (1.0,) * z)),
+        dtype=dtype or jnp.float32)
+    return cfg, convert_wan_vae(load_torch_state_dict(vae_dir), cfg)
 
 
 def convert_dinov2_hf(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:

@@ -71,8 +71,10 @@ def main():
     vae = WanVideoVAE(vcfg)
 
     hw = max(vcfg.spatial_factor * 2, int(config.resolution))
-    frames = int(config.sample.get("num_frames", 8))
-    lat_f = max(1, frames // vcfg.temporal_factor)
+    frames = int(config.sample.get("num_frames", 9))
+    # WAN frame counts are 1 mod temporal_factor (first frame is the image
+    # frame); latent F' = 1 + (F-1)/tf like diffusers AutoencoderKLWan
+    lat_f = vcfg.latent_frames(max(vcfg.temporal_factor + 1, frames))
     lat_hw = hw // vcfg.spatial_factor
     # latent F/H/W must tile the transformer patch size
     pt, ph, pw = cfg.patch_size
@@ -86,7 +88,7 @@ def main():
             lambda k: model.init(k, latents, jnp.ones((1,)), txt)
         )(jax.random.PRNGKey(1))
     vae_vars = jax.jit(vae.init)(
-        kv_, jnp.zeros((1, 3, lat_f * vcfg.temporal_factor,
+        kv_, jnp.zeros((1, 3, 1 + (lat_f - 1) * vcfg.temporal_factor,
                         lat_hw * vcfg.spatial_factor,
                         lat_hw * vcfg.spatial_factor)))
 

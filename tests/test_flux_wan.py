@@ -268,12 +268,12 @@ class TestWanVideoVAE:
 
         cfg = WanVAEConfig.tiny()
         vae = WanVideoVAE(cfg)
-        B, F, HW = 1, 4, 8
+        B, F, HW = 1, 5, 8  # F ≡ 1 mod temporal_factor (WAN 4k+1 layout)
         vid = jax.random.uniform(jax.random.PRNGKey(0), (B, 3, F, HW, HW),
                                  minval=-1, maxval=1)
         variables = jax.jit(vae.init)(jax.random.PRNGKey(1), vid)
         z = vae.apply(variables, vid, method=vae.encode)
-        assert z.shape == (B, cfg.z_dim, F // cfg.temporal_factor,
+        assert z.shape == (B, cfg.z_dim, cfg.latent_frames(F),
                            HW // cfg.spatial_factor, HW // cfg.spatial_factor)
         rec = vae.apply(variables, z, method=vae.decode)
         assert rec.shape == vid.shape
@@ -297,7 +297,7 @@ class TestWanVideoVAE:
         cfg1 = WanVAEConfig.tiny(latents_mean=(0.5, -0.5, 0.1, 0.0),
                                  latents_std=(2.0, 1.0, 0.5, 1.5))
         vae0, vae1 = WanVideoVAE(cfg0), WanVideoVAE(cfg1)
-        vid = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 2, 8, 8),
+        vid = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 3, 8, 8),
                                  minval=-1, maxval=1)
         variables = jax.jit(vae0.init)(jax.random.PRNGKey(1), vid)
         # same weights, different stats: encode->decode must agree (stats
@@ -328,8 +328,10 @@ class TestWanVideoVAE:
         txt = jax.random.normal(jax.random.PRNGKey(1), (B, 3, cfg.text_dim))
         variables = jax.jit(model.init)(
             jax.random.PRNGKey(2), lat, jnp.array([500.0]), txt)
-        vid_shape = (B, 3, F * vcfg.temporal_factor, HW * vcfg.spatial_factor,
-                     HW * vcfg.spatial_factor)
+        # latent F' frames decode to 1 + (F'-1)*tf video frames (frame 0 is
+        # the image frame, diffusers AutoencoderKLWan layout)
+        vid_shape = (B, 3, 1 + (F - 1) * vcfg.temporal_factor,
+                     HW * vcfg.spatial_factor, HW * vcfg.spatial_factor)
         vae_vars = jax.jit(vae.init)(
             jax.random.PRNGKey(3), jnp.zeros(vid_shape))
 
