@@ -22,10 +22,22 @@ from adv_grpo_tpu.core.sde import wan_sde_step_with_logprob
 
 def wan_schedule(num_steps: int, shift: float = 3.0,
                  num_train_timesteps: int = 1000):
-    """UniPC(flow) sigma schedule: shifted linspace like flow-match Euler."""
-    base = np.linspace(1.0, 1.0 / num_steps, num_steps, dtype=np.float64)
-    sigmas = shift * base / (1.0 + (shift - 1.0) * base)
-    timesteps = (sigmas * num_train_timesteps).astype(np.float32)
+    """UniPC flow-sigma schedule, exactly as diffusers UniPCMultistepScheduler
+    .set_timesteps derives it with ``use_flow_sigmas=True`` (the WAN
+    checkpoints' scheduler, reference wan_pipeline_with_logprob.py:229):
+
+        alphas  = linspace(1, 1/T, N+1)
+        sigmas  = flip(shift*(1-alphas) / (1 + (shift-1)*(1-alphas)))[:-1]
+        t_i     = int(sigmas_i * T)          (int64 truncation -> model input)
+        sigmas += [0.0]                      (final_sigmas_type='zero' default)
+
+    Note the (1 - 1/T) factor baked into the base linspace and the integer
+    timestep truncation — both are what pretrained WAN weights saw."""
+    alphas = np.linspace(1.0, 1.0 / num_train_timesteps, num_steps + 1,
+                         dtype=np.float64)
+    base = 1.0 - alphas
+    sigmas = np.flip(shift * base / (1.0 + (shift - 1.0) * base))[:-1]
+    timesteps = np.floor(sigmas * num_train_timesteps).astype(np.float32)
     sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
     return sigmas, timesteps
 
@@ -56,7 +68,10 @@ def wan_denoise_with_logprob(
                                            cfg.num_train_timesteps)
     sigmas = jnp.asarray(sigmas_np)
     timesteps = jnp.asarray(timesteps_np)
-    sigma_min = float(sigmas_np[-2])
+    # reference sde_step reads sigma_min = sigmas[-1] (the APPENDED terminal
+    # 0.0 under final_sigmas_type='zero') and sigma_max = sigmas[1]
+    # (wan_pipeline_with_logprob.py:47-48), so std_dev_t = sigma_max * sigma
+    sigma_min = float(sigmas_np[-1])
     sigma_max = float(sigmas_np[1])
     B = latents.shape[0]
 

@@ -106,6 +106,38 @@ class TestWanSampler:
         np.testing.assert_allclose(np.asarray(a.final_latents),
                                    np.asarray(b.final_latents), rtol=1e-6)
 
+    def test_wan_schedule_matches_unipc_flow_sigmas(self):
+        """Golden values hand-computed (Decimal) from the published diffusers
+        UniPCMultistepScheduler flow-sigma derivation (use_flow_sigmas=True,
+        final_sigmas_type='zero' — the WAN checkpoints' scheduler, VERDICT r3
+        #7): alphas=linspace(1,1/T,N+1); sigmas=flip(shift*(1-a)/(1+(shift-1)
+        *(1-a)))[:-1]; timesteps=int(sigma*T); terminal 0 appended. The
+        (1-1/T) factor and the int64 timestep truncation are load-bearing —
+        they are what pretrained WAN weights saw."""
+        sig, ts = wan_schedule(4, shift=3.0, num_train_timesteps=1000)
+        np.testing.assert_allclose(
+            sig, [0.9996664443, 0.8996397839, 0.7496248124, 0.4996665555,
+                  0.0], rtol=0, atol=1e-7)
+        np.testing.assert_array_equal(ts, [999.0, 899.0, 749.0, 499.0])
+
+    def test_wan_rollout_noise_floor_is_reference_sigma_min(self):
+        """The reference reads sigma_min = sigmas[-1] == the appended terminal
+        0.0 (wan_pipeline_with_logprob.py:48), so std_dev_t = sigma_max*sigma
+        with NO additive floor. Replaying a transition with that convention
+        must reproduce the rollout's recorded logprob exactly."""
+        cfg = WanSamplerConfig(num_steps=3)
+        vfn = lambda lat, t, lora_scale: -lat * 0.5
+        lat = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 2, 2, 2))
+        out = wan_denoise_with_logprob(vfn, lat, jax.random.PRNGKey(1), cfg)
+        sig, _ = wan_schedule(3)
+        x0 = out.all_latents[:, 0]
+        replay = wan_sde_step_with_logprob(
+            vfn(x0, None, 1.0), x0, float(sig[0]), float(sig[1]),
+            sigma_min=0.0, sigma_max=float(sig[1]),
+            prev_sample=out.all_latents[:, 1])
+        np.testing.assert_allclose(np.asarray(replay.log_prob),
+                                   np.asarray(out.log_probs[:, 0]), rtol=1e-6)
+
     def test_wan_step_deterministic_is_euler(self):
         x = jnp.ones((1, 2, 2, 2, 2))
         v = jnp.full_like(x, -0.5)
