@@ -130,6 +130,18 @@ def main():
     dev = jax.devices()[0]
     peak = detect_peak(dev)
 
+    try:
+        # persistent executable cache: the bench compiles ~15 large graphs;
+        # reruns (and the trainer-epoch phase's graph family) hit the cache
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(os.path.dirname(
+                               os.path.abspath(__file__)), ".jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     batch = 8  # mini_num_image_per_prompt (BASELINE.md group layout)
     latent_hw, seq_txt = 64, 154  # 512^2 -> 1024 image tokens + 154 text
     num_steps, train_T = 10, 2
@@ -205,7 +217,8 @@ def main():
 
     vcfg = VAEConfig.tiny() if smoke else VAEConfig.sd3()
 
-    def build_pipe(attention_backend, reuse_pipe=None):
+    def build_pipe(attention_backend, reuse_pipe=None,
+                   remat_policy="save_attn"):
         """Build the bench pipe; ``reuse_pipe`` shares an existing pipe's
         already-materialised param trees (they are backend-independent), so
         the fallback rebuild costs zero extra HBM — materialising a second
@@ -215,10 +228,12 @@ def main():
             mcfg = MMDiTConfig.tiny(
                 in_channels=vcfg.latent_channels,
                 out_channels=vcfg.latent_channels, lora_rank=4,
-                lora_alpha=8.0, attention_backend=attention_backend)
+                lora_alpha=8.0, attention_backend=attention_backend,
+                remat_policy=remat_policy)
         else:
             mcfg = MMDiTConfig.sd35_medium(lora_rank=32, lora_alpha=64.0,
-                                           attention_backend=attention_backend)
+                                           attention_backend=attention_backend,
+                                           remat_policy=remat_policy)
         mmdit, vae = MMDiT(mcfg), AutoencoderKL(vcfg)
         if reuse_pipe is not None:
             tvars = reuse_pipe.transformer_params
@@ -444,23 +459,36 @@ def main():
     # 4 minibatches x T window steps = 8 microsteps per compiled call: the
     # per-call tunnel overhead (~0.4 s arg passing) amortises to ~5%.
     N_MINI = 1 if smoke else 4
-    tile = lambda a: jnp.broadcast_to(a[None], (N_MINI,) + a.shape)
-    samples = dict(
-        latents=jnp.zeros((N_MINI, batch, train_T + 1, C, latent_hw,
-                           latent_hw)),
-        log_probs=jnp.zeros((N_MINI, batch, train_T)),
-        timesteps=jnp.full((N_MINI, batch, train_T), 500.0),
-        sigmas=jnp.full((N_MINI, batch, train_T), 0.5),
-        sigmas_prev=jnp.full((N_MINI, batch, train_T), 0.4),
-        advantages=jnp.ones((N_MINI, batch)),
-        embeds=tile(embeds), pooled=tile(pooled))
 
-    def time_train(pipe_):
+    def make_train_samples(splits: int):
+        """(N_MINI*splits, batch//splits, ...) sub-microbatches — exactly the
+        layout driver.train_phase produces at train.micro_splits=splits. All
+        timings normalise by the ORIGINAL (N_MINI * train_T) microstep count,
+        so splits>1 rows compare directly against splits=1."""
+        n_mini, bs = N_MINI * splits, batch // splits
+        e = embeds[:bs]
+        p = pooled[:bs]
+        tile = lambda a: jnp.broadcast_to(a[None], (n_mini,) + a.shape)
+        return dict(
+            latents=jnp.zeros((n_mini, bs, train_T + 1, C, latent_hw,
+                               latent_hw)),
+            log_probs=jnp.zeros((n_mini, bs, train_T)),
+            timesteps=jnp.full((n_mini, bs, train_T), 500.0),
+            sigmas=jnp.full((n_mini, bs, train_T), 0.5),
+            sigmas_prev=jnp.full((n_mini, bs, train_T), 0.4),
+            advantages=jnp.ones((n_mini, bs)),
+            embeds=tile(e), pooled=tile(p)), e, p
+
+    def time_train(pipe_, splits: int, cfg_seq: bool):
+        import dataclasses as _dc
+        samples, e, p = make_train_samples(splits)
+        ne, npd = jnp.zeros_like(e), jnp.zeros_like(p)
+        scfg_t = _dc.replace(scfg, cfg_sequential=cfg_seq)
         state = create_generator_state(lora, train_cfg, train_T)
-        train_fn = make_train_epoch_fn(pipe_, scfg, train_cfg)
+        train_fn = make_train_epoch_fn(pipe_, scfg_t, train_cfg)
 
         def train_once(st):
-            new_state, info = train_fn(st, frozen, samples, neg_e, neg_p)
+            new_state, info = train_fn(st, frozen, samples, ne, npd)
             float(info["loss"])
             return new_state
 
@@ -469,28 +497,296 @@ def main():
         train_once(st)
         return (time.perf_counter() - t0) / (N_MINI * train_T)
 
+    # (remat_policy, micro_splits, cfg_sequential) candidates, best-first —
+    # chosen from the measured v5e shootout (scripts/profile_train_remat.py):
+    # richer save sets cut the ~25% remat re-forward; micro_splits and the
+    # sequential CFG re-forward shrink live HBM so those tiers fit 16GB. The
+    # first candidate that runs is the headline; the last is the r3 baseline.
+    TRAIN_GRID = [("save_big", 2, True), ("save_attn_qkv", 2, True),
+                  ("save_attn", 1, False)]
+    if smoke:
+        TRAIN_GRID = [("save_attn", 1, False)]
     attn_backend_train = "pallas_auto"
-    dt_microstep = guarded("train", lambda: time_train(pipe))
+    dt_microstep = None
+    train_cfg_used = None
+    for policy_t, splits_t, seq_t in TRAIN_GRID:
+        if batch % splits_t != 0:
+            continue
+        pipe_t = (pipe if policy_t == "save_attn"
+                  else build_pipe(None, reuse_pipe=pipe,
+                                  remat_policy=policy_t)[1])
+        dt_microstep = guarded(
+            f"train[{policy_t},x{splits_t},seq={int(seq_t)}]",
+            lambda p_=pipe_t, s_=splits_t, q_=seq_t: time_train(p_, s_, q_))
+        if dt_microstep is not None:
+            train_cfg_used = {"remat_policy": policy_t,
+                              "micro_splits": splits_t,
+                              "cfg_sequential": seq_t}
+            break
     if dt_microstep is None:
         # the train jvp/vjp exercises the fused-backward kernels; degrade to
         # the XLA composition path rather than dropping the number
         attn_backend_train = "reference"
         _, pipe_ref_t = build_pipe("reference", reuse_pipe=pipe)
         dt_microstep = guarded("train_reference",
-                               lambda: time_train(pipe_ref_t))
+                               lambda: time_train(pipe_ref_t, 1, False))
+        if dt_microstep is not None:
+            train_cfg_used = {"remat_policy": "save_attn", "micro_splits": 1,
+                              "cfg_sequential": False}
 
     # microstep FLOPs, two conventions (VERDICT r2 weak #2):
     #   * hardware-work MFU (4x fwd): CFG fwd + remat re-fwd + bwd dx chain
     #     ~= 2x fwd (LoRA weight-grad matmuls are rank-32, negligible) —
-    #     counts the remat re-forward the chip actually executes;
+    #     counts the remat re-forward the chip actually executes. Exact for
+    #     remat_policy=save_attn (full-block re-forward); richer save sets
+    #     re-execute LESS than 1x fwd, so for those this is an UPPER bound
+    #     (the honest headline is the model-FLOPs number below).
     #   * model-FLOPs MFU (3x fwd): the standard fwd + 2x-bwd convention,
     #     which treats rematerialisation as overhead, not useful work.
     fwd = analytic_mmdit_flops(mcfg, s_img, seq_txt, int(batch * cfg_mult))
     if dt_microstep is not None:
         train_mfu = 4.0 * fwd / dt_microstep / peak
         train_mfu_model_flops = 3.0 * fwd / dt_microstep / peak
+        if train_cfg_used and train_cfg_used["remat_policy"] != "save_attn":
+            train_mfu = None  # 4x-fwd convention undefined off save_attn
     else:
         train_mfu = train_mfu_model_flops = None
+
+    # ── cotrain phases (VERDICT r3 weak #4): the headline adversarial
+    # presets also pay a DINO-patch reward per image and a D-step per
+    # sampling batch on D-epochs — measure both with the policy resident.
+    from adv_grpo_tpu.rewards.scorers import DINOScorer
+    from adv_grpo_tpu.train.grpo_trainer import (
+        make_dino_d_step, make_pickscore_d_step)
+
+    if smoke:
+        from adv_grpo_tpu.models.vit import ViTConfig as _ViTCfg
+        dino = DINOScorer(vision_cfg=_ViTCfg.tiny(), image_size=28)
+    else:
+        dino = DINOScorer()  # dinov2-base @518 — the reference's D backbone
+
+    def dino_materialise():
+        bb_s = jax.eval_shape(dino.init_backbone, key)
+        hd_s = jax.eval_shape(dino.init_head, key)
+
+        @jax.jit
+        def fill():
+            f = lambda s: (jnp.full(s.shape, 0.01, s.dtype)
+                           if jnp.issubdtype(s.dtype, jnp.floating)
+                           else jnp.zeros(s.shape, s.dtype))
+            return (jax.tree_util.tree_map(f, bb_s),
+                    jax.tree_util.tree_map(f, hd_s))
+
+        return fill()
+
+    K_DINO = 1 if smoke else 8
+
+    def time_dino_reward():
+        bb, hd = dino_materialise()
+        imgs_d = jnp.full((batch, 3, imgs_hw, imgs_hw), 0.1, jnp.float32)
+        try:
+            @jax.jit
+            def dino_k(bb, hd, x, k):
+                def body(acc, i):
+                    s = dino.patch_cotrain_score(
+                        bb, hd, x + 0.01 * i.astype(jnp.float32),
+                        jax.random.fold_in(k, i))
+                    return acc + jnp.sum(s), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                      jnp.arange(K_DINO))
+                return acc
+
+            float(dino_k(bb, hd, imgs_d, key))
+            ts = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                float(dino_k(bb, hd, imgs_d + 0.01 * rep,
+                             jax.random.fold_in(key, rep)))
+                ts.append(time.perf_counter() - t0)
+            rate = batch / (sorted(ts)[1] / K_DINO)
+
+            # DINO hinge D-step (head-only Adam on frozen features,
+            # reference train_sd3_fast_dino_patch.py:156-232)
+            import optax  # noqa: F401 — imported by the factory
+            step_fn, opt0 = make_dino_d_step(dino, d_lr=1e-4)(hd)
+            K_D = 1 if smoke else 4
+
+            @jax.jit
+            def dino_d_k(hd, opt, bb, real, fake, k):
+                def body(carry, i):
+                    h, o = carry
+                    h, o, loss, _ = step_fn(h, o, bb, real, fake
+                                            + 0.01 * i.astype(jnp.float32),
+                                            jax.random.fold_in(k, i))
+                    return (h, o), loss
+                (h, o), losses = jax.lax.scan(body, (hd, opt),
+                                              jnp.arange(K_D))
+                return jnp.sum(losses)
+
+            real = jnp.full_like(imgs_d, 0.2)
+            float(dino_d_k(hd, opt0, bb, real, imgs_d, key))
+            ts = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                float(dino_d_k(hd, opt0, bb, real, imgs_d + 0.01 * rep,
+                               jax.random.fold_in(key, 9 + rep)))
+                ts.append(time.perf_counter() - t0)
+            dt_d_dino = sorted(ts)[1] / K_D
+            return rate, dt_d_dino
+        finally:
+            for leaf in jax.tree_util.tree_leaves((bb, hd, imgs_d)):
+                leaf.delete()
+
+    res = guarded("dino_cotrain", time_dino_reward)
+    dino_evals_per_sec, dt_d_step_dino = res if res else (None, None)
+
+    def time_pickscore_d_step():
+        """One adversarial PickScore D-step (pairwise criterion fwd+bwd
+        through CLIP-H, masked Adam on the last vision layer) — reference
+        train_sd3_fast_pickscore.py:1003-1037."""
+        ps_p = ps_materialise()
+        real = jnp.full((batch, 3, imgs_hw, imgs_hw), 0.2, jnp.float32)
+        fake = jnp.full((batch, 3, imgs_hw, imgs_hw), 0.1, jnp.float32)
+        try:
+            step_fn, opt0 = make_pickscore_d_step(
+                ps, tune_layer=-1, d_lr=5e-6)(ps_p)
+            K_D = 1 if smoke else 4
+
+            @jax.jit
+            def ps_d_k(p, opt, real, fake, ids):
+                def body(carry, i):
+                    pp, oo = carry
+                    pp, oo, loss, _ = step_fn(
+                        pp, oo, real, fake + 0.01 * i.astype(jnp.float32),
+                        ids)
+                    return (pp, oo), loss
+                (pp, oo), losses = jax.lax.scan(body, (p, opt),
+                                                jnp.arange(K_D))
+                return jnp.sum(losses)
+
+            float(ps_d_k(ps_p, opt0, real, fake, ids))
+            ts = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                float(ps_d_k(ps_p, opt0, real, fake + 0.01 * rep, ids))
+                ts.append(time.perf_counter() - t0)
+            return sorted(ts)[1] / K_D
+        finally:
+            for leaf in jax.tree_util.tree_leaves((ps_p, real, fake)):
+                leaf.delete()
+
+    dt_d_step_ps = guarded("pickscore_d_step", time_pickscore_d_step)
+
+    # ── REAL trainer epoch (VERDICT r3 next #3): GRPOTrainer.run() at the
+    # production shape — 12 sampling batches x 8 images, resident PickScore
+    # reward, advantage gather, compiled train epoch — so host-side gaps
+    # (text encode, tunnel pulls in sample_phase, reward-future overlap)
+    # show up in a WALL number the phase sums can be compared against.
+    # Reference bar: the epoch loop at train_sd3_fast_pickscore.py:709-1190.
+    def time_trainer_epoch():
+        import numpy as np
+        from adv_grpo_tpu.config import grpo as grpo_presets
+        from adv_grpo_tpu.train.driver import GRPOTrainer
+        from adv_grpo_tpu.utils.metrics import StepTimer
+
+        tcfg = grpo_presets.pickscore_sd3_fast(replica_count=8)
+        tcfg.wandb_init = False
+        tcfg.save_dir = ""
+        tcfg.max_global_step = 10**9
+        # single-chip group layout: all 8 images of a prompt on this chip
+        tcfg.sample.num_image_per_prompt = batch
+        tcfg.sample.mini_num_image_per_prompt = batch
+        tcfg.sample.num_batches_per_epoch = 1 if smoke else 12
+        tcfg.train.gradient_accumulation_steps = 1 if smoke else 6
+        # pin the window start at rt=2 (~ E[rt]=2.5) so the sample_fn
+        # compiles ONE variant on the tunnel; the shared_prefix phase above
+        # measures the true-mean window cost separately
+        tcfg.sample.random_timestep = 0 if smoke else 2
+        tcfg.sample.num_steps = num_steps
+        tcfg.sample.train_num_steps = train_T
+        if train_cfg_used:
+            tcfg.train.micro_splits = int(train_cfg_used["micro_splits"])
+            tcfg.train.cfg_sequential = bool(
+                train_cfg_used["cfg_sequential"])
+            tcfg.tpu.remat_policy = str(train_cfg_used["remat_policy"])
+        pipe_tr = (pipe if not train_cfg_used
+                   or train_cfg_used["remat_policy"] == "save_attn"
+                   else build_pipe(
+                       None, reuse_pipe=pipe,
+                       remat_policy=train_cfg_used["remat_policy"])[1])
+
+        dataset = [dict(prompt=f"a photo of test object number {i}",
+                        metadata={}) for i in range(16)]
+        emb_rng = np.random.default_rng(0)
+        emb_cache: dict = {}
+
+        def text_encode_fn(prompts):
+            # deterministic per-prompt random embeddings — the production
+            # path is a memmap lookup (data/embed_store.py), so host cost
+            # is comparable; encoder quality is irrelevant to wall time
+            outs = []
+            for p in prompts:
+                if p not in emb_cache:
+                    emb_cache[p] = (
+                        emb_rng.standard_normal(
+                            (1, seq_txt, mcfg.joint_attention_dim),
+                            np.float32) * 0.01,
+                        emb_rng.standard_normal(
+                            (1, mcfg.pooled_projection_dim),
+                            np.float32) * 0.01)
+                outs.append(emb_cache[p])
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]))
+
+        ps_p2 = ps_materialise()
+
+        def reward_fn(images, prompts, metadata, ref_images=None):
+            ids_b = jnp.full((len(prompts),) + ids.shape[1:], 3, jnp.int32)
+            s = np.asarray(ps.score(ps_p2, jnp.asarray(images, jnp.float32),
+                                    ids_b), np.float32)
+            return {"avg": s, "pickscore": s}, {}
+
+        class CaptureLogger:
+            def __init__(self):
+                self.rows = []
+
+            def log(self, metrics, step=0):
+                self.rows.append(dict(metrics))
+
+            def log_image_grid(self, *a, **k):
+                pass
+
+        class SnapshotTimer(StepTimer):
+            """StepTimer whose reset() keeps the epoch's phase totals."""
+
+            def __init__(self):
+                super().__init__()
+                self.last_totals: dict = {}
+
+            def reset(self):
+                self.last_totals = dict(self.totals)
+                super().reset()
+
+        cap = CaptureLogger()
+        trainer = GRPOTrainer(tcfg, pipe_tr, dataset, text_encode_fn,
+                              reward_fn, latent_hw=latent_hw, logger=cap)
+        trainer.timer = SnapshotTimer()
+        try:
+            trainer.run(max_epochs=1)  # epoch 0: compile everything
+            t0 = time.perf_counter()
+            trainer.run(max_epochs=2)  # epoch 1: steady state
+            wall = time.perf_counter() - t0
+            phases = {k: round(v, 2)
+                      for k, v in trainer.timer.last_totals.items()}
+            return wall, phases
+        finally:
+            trainer.executor.shutdown(wait=False)
+            for leaf in jax.tree_util.tree_leaves(ps_p2):
+                leaf.delete()
+
+    res = guarded("trainer_epoch", time_trainer_epoch)
+    trainer_epoch_wall_sec = res[0] if res else None
+    trainer_epoch_phases = res[1] if res else None
 
     baseline = REF_IMG_PER_SEC_H100 * peak / H100_PEAK
     # modeled production epoch on ONE chip (BASELINE.md batch math): 12
@@ -507,6 +803,12 @@ def main():
                        if reward_evals_per_sec_resident else None, 2)
     epoch_interleaved = rnd(n_batches * dt_batch_interleaved
                             if dt_batch_interleaved else None, 2)
+    # cotrain preset extras: DINO-patch reward on every generated image +
+    # (on D-epochs) one D-step per sampling batch (driver.d_phase)
+    epoch_reward_dino = rnd(n_imgs / dino_evals_per_sec
+                            if dino_evals_per_sec else None, 2)
+    epoch_d_step = rnd(n_batches * dt_d_step_dino
+                       if dt_d_step_dino else None, 2)
     out = {
         "metric": "rollout_images_per_sec_per_chip",
         "value": rnd(imgs_per_sec, 4),
@@ -525,6 +827,9 @@ def main():
         "train_microstep_sec": rnd(dt_microstep, 3),
         "train_mfu": rnd(train_mfu, 4),  # remat-inclusive (4x fwd)
         "train_mfu_model_flops": rnd(train_mfu_model_flops, 4),  # 3x fwd
+        # measured-best (remat_policy, micro_splits, cfg_sequential) combo
+        # that produced the train numbers (scripts/profile_train_remat.py)
+        "train_config": train_cfg_used,
         "reward_evals_per_sec": rnd(reward_evals_per_sec, 2),  # empty chip
         "reward_evals_per_sec_resident": rnd(reward_evals_per_sec_resident, 2),
         # same_latent group-shared-prefix rollout at the TRUE mean window
@@ -533,10 +838,25 @@ def main():
         # measured fused rollout+PickScore batch cost x 12 batches —
         # the honest device-serialised epoch sampling+reward time
         "epoch_interleaved_sec": epoch_interleaved,
-        # modeled single-chip production epoch breakdown (resident reward)
+        # cotrain-preset phases (VERDICT r3 weak #4): resident DINO-patch
+        # reward rate and measured per-step D costs for both D kinds
+        "reward_dino_evals_per_sec": rnd(dino_evals_per_sec, 2),
+        "d_step_dino_sec": rnd(dt_d_step_dino, 3),
+        "d_step_pickscore_sec": rnd(dt_d_step_ps, 3),
+        # modeled single-chip production epoch breakdown (resident reward);
+        # reward_dino + d_step model the adversarial dino_patch preset's
+        # extra per-epoch work (d_step = 12 batches x one hinge D-step,
+        # paid on D-epochs — 9 of every 10 at d_times=10)
         "epoch_phase_sec": {"rollout": epoch_rollout,
                             "train": epoch_train,
-                            "reward": epoch_reward},
+                            "reward": epoch_reward,
+                            "reward_dino": epoch_reward_dino,
+                            "d_step": epoch_d_step},
+        # MEASURED steady-state GRPOTrainer.run() epoch at the production
+        # shape (12x8, resident PickScore reward, pinned rt=2) + the
+        # driver's own per-phase wall totals for that epoch
+        "trainer_epoch_wall_sec": rnd(trainer_epoch_wall_sec, 2),
+        "trainer_epoch_phase_sec": trainer_epoch_phases,
         "attention_backend": {"rollout": attn_backend_rollout,
                               "train": attn_backend_train},
     }

@@ -39,6 +39,7 @@ from __future__ import annotations
 # repo-root bootstrap shared by all scripts (scripts/_path.py)
 import _path  # noqa: F401
 
+import dataclasses
 import time
 
 import jax
@@ -121,10 +122,27 @@ def main():
         neg_p = jnp.zeros((bs, mcfg0.pooled_projection_dim), jnp.bfloat16)
         return samples, neg_e, neg_p
 
-    GRID = [("save_attn", 1), ("save_attn", 2), ("save_attn_qkv", 2),
-            ("save_attn_ff", 2), ("save_big", 2), ("save_big", 4)]
+    # third axis: train.cfg_sequential — re-forward the uncond/cond CFG
+    # halves as two sequential B-sized calls (rollout/sampler.py:242-249).
+    # Halves the live working set per transformer call without shrinking the
+    # saved-residual footprint, so it composes with (not replaces) the
+    # sample-axis micro_splits.
+    GRID = [("save_attn", 1, False), ("save_attn", 1, True),
+            ("save_attn", 2, False), ("save_attn_qkv", 1, True),
+            ("save_attn_qkv", 2, False), ("save_attn_qkv", 2, True),
+            ("save_attn_ff", 2, True), ("save_big", 1, True),
+            ("save_big", 2, False), ("save_big", 2, True),
+            ("save_big", 4, False), ("save_big", 4, True)]
+    # resume/trim: ADV_GRPO_REMAT_GRID="save_big,2,1;save_big,4,1" runs only
+    # those rows (the full grid costs ~1h of tunnel compiles)
+    import os
+    grid_env = os.environ.get("ADV_GRPO_REMAT_GRID", "")
+    if grid_env:
+        GRID = [(p, int(s), bool(int(q)))
+                for p, s, q in (row.split(",")
+                                for row in grid_env.split(";") if row)]
 
-    for policy, splits in GRID:
+    for policy, splits, cfg_seq in GRID:
         st = state = train_fn = pipe = samples = None
         try:
             train_cfg = ml_collections.ConfigDict(dict(
@@ -139,7 +157,8 @@ def main():
             pipe = SD3Pipeline(mcfg, vcfg, MMDiT(mcfg), vae, tvars, vvars,
                                text_seq_len=seq_txt)
             state = create_generator_state(lora, train_cfg, train_T)
-            train_fn = make_train_epoch_fn(pipe, scfg, train_cfg)
+            scfg_pt = dataclasses.replace(scfg, cfg_sequential=cfg_seq)
+            train_fn = make_train_epoch_fn(pipe, scfg_pt, train_cfg)
 
             def once(st):
                 new_state, info = train_fn(st, pipe.transformer_params,
@@ -154,11 +173,12 @@ def main():
                 st = once(st)
                 ts.append(time.perf_counter() - t0)
             dt = sorted(ts)[1] / (N_MINI * train_T)  # CFG-16-equivalent
-            print(f"{policy:15s} x{splits}  microstep(eq) {dt:.3f} s   "
-                  f"mem {device_mem_gb()}", flush=True)
+            print(f"{policy:15s} x{splits} seq={int(cfg_seq)}  "
+                  f"microstep(eq) {dt:.3f} s   mem {device_mem_gb()}",
+                  flush=True)
         except Exception as e:  # noqa: BLE001 — report and try the next tier
-            print(f"{policy:15s} x{splits}  FAILED: {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+            print(f"{policy:15s} x{splits} seq={int(cfg_seq)}  FAILED: "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
         finally:
             # free this tier's device objects BEFORE the next one compiles —
             # leftover allocations would skew the next tier's OOM verdict
