@@ -131,6 +131,37 @@ def build_pipeline(config, latent_hw: Optional[int] = None):
             f"`python -m adv_grpo_tpu.models.convert --src <dir>`, or set "
             f"smoke_test=True / pretrained.model='' for an explicitly "
             f"random-init smoke/bench run.")
+    family = str(config.get("model_family", "sd3") or "sd3")
+    if family == "flux":
+        from adv_grpo_tpu.models.flux import FluxConfig
+        from adv_grpo_tpu.train.flux_pipeline import FluxPipeline
+
+        g = float(config.sample.guidance_scale)
+        if model_dir and os.path.isdir(model_dir):
+            return FluxPipeline.from_pretrained(
+                model_dir, lora_rank=lora_rank,
+                lora_alpha=float(config.train.lora_alpha), dtype=dtype,
+                remat=bool(config.tpu.remat),
+                attention_backend=config.tpu.attention_backend, guidance=g)
+        if model_dir and not smoke:
+            raise FileNotFoundError(
+                f"config.pretrained.model={model_dir!r} is not a local "
+                f"diffusers FluxTransformer2DModel directory; set FLUX_DIR "
+                f"to converted weights, or smoke_test=True for random-init")
+        # tiny random-init smoke (flux_smoke preset / CI)
+        fcfg = FluxConfig.tiny(
+            lora_rank=max(lora_rank, 1) if lora_rank else 4,
+            attention_backend=config.tpu.attention_backend)
+        return FluxPipeline.random_init(
+            jax.random.PRNGKey(int(config.seed)), fcfg,
+            VAEConfig.tiny(latent_channels=fcfg.in_channels // 4),
+            latent_hw=latent_hw or 8, text_seq_len=6, guidance=g)
+    if family not in ("sd3", ""):
+        raise ValueError(
+            f"model_family={family!r} has no trainer pipeline; 'sd3' and "
+            "'flux' are GRPO-trainable, 'wan' is driven by "
+            "scripts/demo/wan_sde_demo.py (the reference ships WAN the same "
+            "way: a sampler library, no WAN trainer)")
     tpu_kw = dict(remat=bool(config.tpu.remat),
                   remat_policy=str(config.tpu.get("remat_policy", "save_attn")),
                   attention_backend=config.tpu.attention_backend)
@@ -169,10 +200,11 @@ def build_text_encoder(config, pipeline):
     model_dir = str(config.pretrained.model)
     if model_dir and os.path.isdir(os.path.join(model_dir, "text_encoder")):
         return load_real_text_encoder(config, pipeline)
+    mcfg = getattr(pipeline, "mmdit_cfg", None) or pipeline.flux_cfg
     return make_hash_text_encoder(
         seq_len=pipeline.text_seq_len,
-        embed_dim=pipeline.mmdit_cfg.joint_attention_dim,
-        pooled_dim=pipeline.mmdit_cfg.pooled_projection_dim)
+        embed_dim=mcfg.joint_attention_dim,
+        pooled_dim=mcfg.pooled_projection_dim)
 
 
 def make_hash_text_encoder(seq_len: int, embed_dim: int, pooled_dim: int):

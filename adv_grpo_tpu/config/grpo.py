@@ -196,6 +196,19 @@ def flux_smoke():
     config.wandb_init = False
     config.save_dir = "logs/flux_smoke"
     config.case_name = "flux_smoke"
+    # GRPO-trainable (round 4): the full-SDE window [rt, rt+2), 2 batches of
+    # one 4-image group per epoch, compressibility reward — a CI-sized run
+    # of cli.train --config flux_smoke (the Flow-GRPO lineage's Flux config)
+    config.dataset = os.path.join(os.getcwd(), "dataset/pickscore_small")
+    config.prompt_fn = "general_ocr"
+    config.sample.train_num_steps = 2
+    config.sample.train_batch_size = 1
+    config.sample.num_image_per_prompt = 4
+    config.sample.mini_num_image_per_prompt = 4
+    config.sample.num_batches_per_epoch = 2
+    config.train.batch_size = 4
+    config.train.gradient_accumulation_steps = 1
+    config.reward_fn = {"jpeg_compressibility": 1}
     return config
 
 

@@ -1041,11 +1041,36 @@ def cast_tree_bf16(tree, keep_f32=("lora_",)):
 # ─────────────────────────── Flux / WAN loaders ───────────────────────────
 
 
+def _add_flux_lora_leaves(params: Dict, cfg) -> Dict:
+    """Insert PEFT-init adapters into a converted Flux tree, covering the
+    projections models.flux gives LoRA: every double-block attention
+    projection plus the single-block fused q/k/v/proj_mlp and proj_out."""
+    rng = np.random.default_rng(0)
+    r = cfg.lora_rank
+
+    def add(leaf):
+        kin, kout = leaf["kernel"].shape
+        leaf["lora_a"] = rng.normal(0, 1.0 / r, (kin, r)).astype(np.float32)
+        leaf["lora_b"] = np.zeros((r, kout), np.float32)
+
+    for i in range(cfg.num_double_layers):
+        for leaf in params[f"double_{i}"]["attn"].values():
+            if isinstance(leaf, dict) and "kernel" in leaf:
+                add(leaf)
+    for i in range(cfg.num_single_layers):
+        blk = params[f"single_{i}"]
+        for name in ("to_q", "to_k", "to_v", "proj_mlp", "proj_out"):
+            add(blk[name])
+    return params
+
+
 def load_flux_transformer(model_dir: str, *, dtype=None, remat=True,
-                          attention_backend=None):
+                          attention_backend=None, lora_rank=0,
+                          lora_alpha=1.0):
     """(FluxConfig, params) from a local diffusers FluxTransformer2DModel
     directory (config.json + safetensors). The reference obtains this model
-    via FluxPipeline.from_pretrained (flux_pipeline_with_logprob.py)."""
+    via FluxPipeline.from_pretrained (flux_pipeline_with_logprob.py).
+    ``lora_rank > 0`` inserts fresh PEFT-init adapters for GRPO training."""
     import jax.numpy as jnp
 
     from adv_grpo_tpu.models.flux import FluxConfig
@@ -1063,8 +1088,11 @@ def load_flux_transformer(model_dir: str, *, dtype=None, remat=True,
         guidance_embeds=tc.get("guidance_embeds", True),
         rope_axes_dims=tuple(tc.get("axes_dims_rope", (16, 56, 56))),
         dtype=dtype or jnp.bfloat16, remat=remat,
-        attention_backend=attention_backend)
+        attention_backend=attention_backend, lora_rank=lora_rank,
+        lora_alpha=lora_alpha)
     params = convert_flux(load_torch_state_dict(model_dir), cfg)
+    if lora_rank > 0:
+        params = _add_flux_lora_leaves(params, cfg)
     return cfg, cast_tree_bf16(params) if cfg.dtype == jnp.bfloat16 else params
 
 

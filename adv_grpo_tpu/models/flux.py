@@ -56,6 +56,11 @@ class FluxConfig:
     # (models.lora.fused_qkv_proj): q/k/v per stream in double blocks,
     # q/k/v + proj_mlp in single blocks — identical values, one HBM read
     fused_qkv: bool = True
+    # LoRA on the attention projections (mirrors MMDiT's 8-projection PEFT
+    # coverage; single blocks fuse q/k/v/proj_mlp into one matmul, so all
+    # four share the adapter rank there). rank 0 == plain Dense.
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
 
     @property
     def hidden_dim(self) -> int:
@@ -116,12 +121,14 @@ class FluxAttention(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, img_mod, txt_mod, cos, sin):
+    def __call__(self, img_mod, txt_mod, cos, sin, lora_scale=1.0):
         c = self.cfg
         H, d = c.num_attention_heads, c.attention_head_dim
         dim = c.hidden_dim
         s_txt = txt_mod.shape[1]
-        dense = lambda n: nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name=n)
+        dense = lambda n: LoRADense(dim, lora_rank=c.lora_rank,
+                                    lora_alpha=c.lora_alpha, dtype=c.dtype,
+                                    name=n)
 
         def qkv(x, prefix):
             hn = lambda t, n: HeadRMSNorm(d, num_heads=H, dtype=c.dtype,
@@ -129,15 +136,17 @@ class FluxAttention(nn.Module):
             if c.fused_qkv:
                 # LoRADense(rank=0) == Dense (same kernel/bias tree + init);
                 # one matmul reads x from HBM once for all three projections
-                mk = lambda n: LoRADense(dim, lora_rank=0, dtype=c.dtype,
+                mk = lambda n: LoRADense(dim, lora_rank=c.lora_rank,
+                                         lora_alpha=c.lora_alpha,
+                                         dtype=c.dtype,
                                          in_features=x.shape[-1],
                                          name=f"{prefix}{n}")
                 q, k, v = fused_qkv_proj(
-                    [mk("to_q"), mk("to_k"), mk("to_v")], x)
+                    [mk("to_q"), mk("to_k"), mk("to_v")], x, lora_scale)
             else:
-                q = dense(f"{prefix}to_q")(x)
-                k = dense(f"{prefix}to_k")(x)
-                v = dense(f"{prefix}to_v")(x)
+                q = dense(f"{prefix}to_q")(x, lora_scale=lora_scale)
+                k = dense(f"{prefix}to_k")(x, lora_scale=lora_scale)
+                v = dense(f"{prefix}to_v")(x, lora_scale=lora_scale)
             return hn(q, f"{prefix}norm_q"), hn(k, f"{prefix}norm_k"), v
 
         iq, ik, iv = qkv(img_mod, "")
@@ -152,21 +161,23 @@ class FluxAttention(nn.Module):
         ik = apply_rope_bshd(ik, cos[s_txt:], sin[s_txt:], H)
         img_o, txt_o = joint_mha(iq, ik, iv, tq, tk, tv, num_heads=H,
                                  backend=c.attention_backend)
-        return dense("to_out")(img_o), dense("to_add_out")(txt_o)
+        return (dense("to_out")(img_o, lora_scale=lora_scale),
+                dense("to_add_out")(txt_o, lora_scale=lora_scale))
 
 
 class FluxDoubleBlock(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, img, txt, temb, cos, sin):
+    def __call__(self, img, txt, temb, cos, sin, lora_scale=1.0):
         c = self.cfg
         dim = c.hidden_dim
         im = AdaLNModulation(dim, 6, dtype=c.dtype, name="norm1")(temb)
         tm = AdaLNModulation(dim, 6, dtype=c.dtype, name="norm1_context")(temb)
         img_mod = _mod_ln(img, im[1], im[0], c.dtype)
         txt_mod = _mod_ln(txt, tm[1], tm[0], c.dtype)
-        img_att, txt_att = FluxAttention(c, name="attn")(img_mod, txt_mod, cos, sin)
+        img_att, txt_att = FluxAttention(c, name="attn")(
+            img_mod, txt_mod, cos, sin, lora_scale=lora_scale)
         img = img + im[2][:, None] * img_att
         txt = txt + tm[2][:, None] * txt_att
 
@@ -188,7 +199,7 @@ class FluxSingleBlock(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, x, temb, cos, sin):
+    def __call__(self, x, temb, cos, sin, lora_scale=1.0):
         c = self.cfg
         H, d = c.num_attention_heads, c.attention_head_dim
         dim = c.hidden_dim
@@ -198,18 +209,23 @@ class FluxSingleBlock(nn.Module):
 
         if c.fused_qkv:
             # q/k/v AND the 4x-wide parallel-MLP projection all read the same
-            # modulated activation: one (dim, 7*dim) matmul, one HBM read of h
-            mk = lambda n, f: LoRADense(f, lora_rank=0, dtype=c.dtype,
+            # modulated activation: one (dim, 7*dim) matmul, one HBM read of
+            # h. The fused operand concatenates every sibling's LoRA A factor,
+            # so all four share the adapter rank (FluxConfig.lora_rank note).
+            mk = lambda n, f: LoRADense(f, lora_rank=c.lora_rank,
+                                        lora_alpha=c.lora_alpha, dtype=c.dtype,
                                         in_features=h.shape[-1], name=n)
             q, k, v, mlp_h = fused_qkv_proj(
                 [mk("to_q", dim), mk("to_k", dim), mk("to_v", dim),
-                 mk("proj_mlp", dim * 4)], h)
+                 mk("proj_mlp", dim * 4)], h, lora_scale)
         else:
-            q = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_q")(h)
-            k = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_k")(h)
-            v = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32, name="to_v")(h)
-            mlp_h = nn.Dense(dim * 4, dtype=c.dtype, param_dtype=jnp.float32,
-                             name="proj_mlp")(h)
+            mk = lambda n, f: LoRADense(f, lora_rank=c.lora_rank,
+                                        lora_alpha=c.lora_alpha, dtype=c.dtype,
+                                        name=n)
+            q = mk("to_q", dim)(h, lora_scale=lora_scale)
+            k = mk("to_k", dim)(h, lora_scale=lora_scale)
+            v = mk("to_v", dim)(h, lora_scale=lora_scale)
+            mlp_h = mk("proj_mlp", dim * 4)(h, lora_scale=lora_scale)
         q = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_q")(q)
         k = HeadRMSNorm(d, num_heads=H, dtype=c.dtype, name="norm_k")(k)
         pad = (-S) % 128
@@ -226,8 +242,9 @@ class FluxSingleBlock(nn.Module):
         att = att[:, :S]
 
         mlp = nn.gelu(mlp_h, approximate=True)
-        out = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
-                       name="proj_out")(jnp.concatenate([att, mlp], axis=-1))
+        out = LoRADense(dim, lora_rank=c.lora_rank, lora_alpha=c.lora_alpha,
+                        dtype=c.dtype, name="proj_out")(
+            jnp.concatenate([att, mlp], axis=-1), lora_scale=lora_scale)
         return x + gate[:, None] * out
 
 
@@ -240,7 +257,8 @@ class FluxTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, latents, timestep, encoder_hidden_states, pooled,
-                 img_ids: np.ndarray, txt_ids: np.ndarray, guidance=None):
+                 img_ids: np.ndarray, txt_ids: np.ndarray, guidance=None,
+                 lora_scale=1.0):
         c = self.cfg
         dim = c.hidden_dim
         img = nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
@@ -276,10 +294,11 @@ class FluxTransformer(nn.Module):
         dbl = nn.remat(FluxDoubleBlock) if c.remat else FluxDoubleBlock
         sgl = nn.remat(FluxSingleBlock) if c.remat else FluxSingleBlock
         for i in range(c.num_double_layers):
-            img, txt = dbl(c, name=f"double_{i}")(img, txt, temb, cos, sin)
+            img, txt = dbl(c, name=f"double_{i}")(img, txt, temb, cos, sin,
+                                                  lora_scale)
         x = jnp.concatenate([txt, img], axis=1)
         for i in range(c.num_single_layers):
-            x = sgl(c, name=f"single_{i}")(x, temb, cos, sin)
+            x = sgl(c, name=f"single_{i}")(x, temb, cos, sin, lora_scale)
         img = x[:, txt.shape[1]:]
 
         oscale, oshift = AdaLNModulation(dim, 2, dtype=c.dtype, name="norm_out")(temb)

@@ -46,6 +46,15 @@ class VAEConfig:
         return cls(**overrides)
 
     @classmethod
+    def flux(cls, **overrides) -> "VAEConfig":
+        """Flux.1 VAE: same AutoencoderKL topology as SD3 (16 latent
+        channels), different latent normalisation constants (diffusers
+        black-forest-labs/FLUX.1-dev vae/config.json)."""
+        defaults = dict(scaling_factor=0.3611, shift_factor=0.1159)
+        defaults.update(overrides)
+        return cls(**defaults)
+
+    @classmethod
     def tiny(cls, **overrides) -> "VAEConfig":
         defaults = dict(block_out_channels=(8, 16), layers_per_block=1,
                         norm_num_groups=4, latent_channels=4)

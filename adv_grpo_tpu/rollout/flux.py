@@ -118,3 +118,92 @@ def flux_denoise_with_logprob(
          jnp.moveaxis(ys["x"], 0, 1)], axis=1)
     return FluxRolloutResult(final, all_lat, jnp.moveaxis(ys["lp"], 0, 1),
                              jnp.moveaxis(ys["t"], 0, 1))
+
+
+def flux_denoise_window_with_logprob(
+    velocity_fn: Callable,
+    packed_latents: jax.Array,
+    key: jax.Array,
+    num_steps: int,
+    train_num_steps: int,
+    noise_level: float,
+    rt,
+    num_train_timesteps: int = 1000,
+):
+    """GRPO-trainable full-SDE rollout: every step stochastic (the reference
+    flux loop, flux_pipeline_with_logprob.py:141-187), with the training
+    window [rt, rt+T) extracted per sample.
+
+    Unlike SD3's fast sampler (deterministic outside the window,
+    rollout/sampler.py), Flux's lineage trains on the full-SDE trajectory —
+    here ALL transitions are recorded (the packed-token trajectory is tiny:
+    (B, n+1, S, 4C) fp32) and the window is gathered afterwards, so ``rt``
+    can be a traced per-sample (B,) array exactly like the SD3 path.
+
+    Returns a rollout.sampler.RolloutResult (the driver's training
+    contract): latents (B, T+1, S, D), log_probs/timesteps/sigmas/
+    sigmas_prev (B, T), final_latents (B, S, D).
+    """
+    from adv_grpo_tpu.rollout.sampler import RolloutResult
+
+    B, S = packed_latents.shape[:2]
+    T = int(train_num_steps)
+    sigmas_np, timesteps_np = flux_schedule(num_steps, S, num_train_timesteps)
+    sigmas = jnp.asarray(sigmas_np)
+    timesteps = jnp.asarray(timesteps_np)
+    sigma_at_one = float(sigmas_np[1])
+
+    def step(carry, i):
+        x, k = carry
+        t = timesteps[i]
+        v = velocity_fn(x, jnp.full((B,), t))
+        k, sub = jax.random.split(k)
+        out = flow_sde_step_with_logprob(
+            v, x, sigmas[i], sigmas[i + 1], noise_level,
+            sigma_at_one=sigma_at_one,
+            noise=jax.random.normal(sub, x.shape, jnp.float32))
+        ys = dict(x=out.prev_sample, lp=out.log_prob)
+        return (out.prev_sample, k), ys
+
+    (final, _), ys = jax.lax.scan(
+        step, (packed_latents.astype(jnp.float32), key),
+        jnp.arange(num_steps))
+    all_lat = jnp.concatenate(
+        [packed_latents.astype(jnp.float32)[:, None],
+         jnp.moveaxis(ys["x"], 0, 1)], axis=1)  # (B, n+1, S, D)
+    lps = jnp.moveaxis(ys["lp"], 0, 1)  # (B, n)
+
+    rt = jnp.broadcast_to(jnp.asarray(rt, jnp.int32), (B,))
+    w = rt[:, None] + jnp.arange(T)[None, :]  # (B, T)
+    w_lat = rt[:, None] + jnp.arange(T + 1)[None, :]  # (B, T+1)
+    lat_w = jnp.take_along_axis(all_lat, w_lat[:, :, None, None], axis=1)
+    return RolloutResult(
+        final_latents=final,
+        latents=lat_w,
+        log_probs=jnp.take_along_axis(lps, w, axis=1),
+        timesteps=timesteps[w],
+        sigmas=sigmas[w],
+        sigmas_prev=sigmas[w + 1],
+    )
+
+
+def compute_flux_log_prob(velocity_fn, latents_j, next_latents_j, t_j,
+                          sigma_j, sigma_prev_j, prompt_embeds, pooled_embeds,
+                          neg_prompt_embeds, neg_pooled_embeds, cfg):
+    """Training-side log-prob replay for one window step (the Flux analogue
+    of rollout.sampler.compute_log_prob; reference imports the same
+    sde_step_with_logprob for train-time replay). Flux has no CFG batch —
+    guidance is an embedded input — so the negative embeddings are unused.
+    ``sigma_at_one`` is re-derived from the schedule the rollout recorded
+    (a trace-time constant of (num_steps, S)).
+
+    Returns (log_prob, prev_sample_mean, std_dev_t).
+    """
+    del neg_prompt_embeds, neg_pooled_embeds
+    S = latents_j.shape[1]
+    sigmas_np, _ = flux_schedule(cfg.num_steps, S)
+    v = velocity_fn(latents_j, t_j, prompt_embeds, pooled_embeds)
+    out = flow_sde_step_with_logprob(
+        v, latents_j, sigma_j, sigma_prev_j, cfg.noise_level,
+        sigma_at_one=float(sigmas_np[1]), prev_sample=next_latents_j)
+    return out.log_prob, out.prev_sample_mean, out.std_dev_t

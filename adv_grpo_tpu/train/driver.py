@@ -125,19 +125,37 @@ class GRPOTrainer:
         # the enabler for tpu.remat_policy=save_big on 16GB parts
         self.micro_splits = max(int(config.train.get("micro_splits", 1)), 1)
 
+        # model-family seam (pipeline.family): Flux swaps in its own
+        # sampler/eval factories (packed tokens, embedded guidance, full-SDE
+        # window rollout); the training epoch, rewards, advantages, D-gate,
+        # and checkpointing are family-agnostic.
+        self.family = getattr(pipeline, "family", "sd3")
         # same_latent: the reference fast sampler's group-shared prefix — one
         # latent per slot until the window opens (saves (1-1/mini) of the
         # pre-window forwards). Window start is then global per sampling
         # batch (static rt). Otherwise: independent latents, per-rank windows.
         self.shared_prefix = bool(s.same_latent) and self.mini > 1
-        if self.shared_prefix:
+        if self.family == "flux":
+            # full-SDE rollouts are stochastic at EVERY step, so a shared
+            # deterministic prefix cannot exist; same_latent still shares the
+            # group's initial latent
+            self.shared_prefix = False
+            from adv_grpo_tpu.train.grpo_trainer import (
+                make_flux_eval_fn, make_flux_sample_fn)
+            self.sample_fn = make_flux_sample_fn(
+                pipeline, self.sampler_cfg, latent_hw,
+                same_latent=bool(s.same_latent), group_size=self.mini)
+            self.eval_fn = make_flux_eval_fn(pipeline, self.eval_cfg,
+                                             latent_hw)
+        elif self.shared_prefix:
             self.sample_fn = make_shared_prefix_sample_fn(
                 pipeline, self.sampler_cfg, latent_hw, group_size=self.mini)
+            self.eval_fn = make_eval_fn(pipeline, self.eval_cfg, latent_hw)
         else:
             self.sample_fn = make_sample_fn(
                 pipeline, self.sampler_cfg, latent_hw,
                 same_latent=bool(s.same_latent), group_size=self.mini)
-        self.eval_fn = make_eval_fn(pipeline, self.eval_cfg, latent_hw)
+            self.eval_fn = make_eval_fn(pipeline, self.eval_cfg, latent_hw)
         train_sampler_cfg = dataclasses.replace(
             self.sampler_cfg,
             cfg_sequential=bool(config.train.get("cfg_sequential", False)))
@@ -180,8 +198,11 @@ class GRPOTrainer:
         self.executor = ThreadPoolExecutor(max_workers=4)
         # analytic rollout FLOPs for the per-epoch perf/rollout_tflops metric
         # (utils.flops: XLA cost_analysis can't price scan loops)
-        mc = pipeline.mmdit_cfg
-        self._s_img = (latent_hw // mc.patch_size) ** 2
+        if self.family == "flux":
+            self._s_img = (latent_hw // 2) ** 2  # packed 2x2 tokens
+        else:
+            mc = pipeline.mmdit_cfg
+            self._s_img = (latent_hw // mc.patch_size) ** 2
         self._rollout_flops_acc = 0.0
         # precomputed negative ("") embeddings (reference :632-637)
         ne, npld = self.text_encode_fn([""])
@@ -274,13 +295,21 @@ class GRPOTrainer:
                 # perf/rollout_tflops would overstate by orders of magnitude
                 rollout_np = jax.tree_util.tree_map(
                     to_local_np, rollout._asdict())
-            from adv_grpo_tpu.utils.flops import rollout_flops
+            if self.family == "flux":
+                from adv_grpo_tpu.utils.flops import flux_forward_flops
 
-            self._rollout_flops_acc += rollout_flops(
-                self.pipeline.mmdit_cfg, self._s_img, embeds.shape[1], B,
-                self.sampler_cfg.num_steps, self.sampler_cfg.do_cfg,
-                prefix_steps=rt_static if self.shared_prefix else 0,
-                group_size=self.mini)
+                self._rollout_flops_acc += (
+                    self.sampler_cfg.num_steps * flux_forward_flops(
+                        self.pipeline.flux_cfg, self._s_img,
+                        embeds.shape[1], B))
+            else:
+                from adv_grpo_tpu.utils.flops import rollout_flops
+
+                self._rollout_flops_acc += rollout_flops(
+                    self.pipeline.mmdit_cfg, self._s_img, embeds.shape[1], B,
+                    self.sampler_cfg.num_steps, self.sampler_cfg.do_cfg,
+                    prefix_steps=rt_static if self.shared_prefix else 0,
+                    group_size=self.mini)
 
             refs = None
             if self.reference_store is not None:

@@ -114,6 +114,63 @@ def make_shared_prefix_sample_fn(pipeline, sampler_cfg: SamplerConfig,
     return sample
 
 
+def make_flux_sample_fn(pipeline, sampler_cfg: SamplerConfig, latent_hw: int,
+                        same_latent: bool = False, group_size: int = 1):
+    """Flux sampling batch: full-SDE rollout (every step stochastic, the
+    reference flux loop flux_pipeline_with_logprob.py:141-187) + window
+    gather + decode. Signature-identical to make_sample_fn so the driver
+    stays family-agnostic; the negative embeddings are accepted and unused
+    (Flux guidance is embedded, not a CFG batch)."""
+    from adv_grpo_tpu.rollout.flux import flux_denoise_window_with_logprob
+
+    @jax.jit
+    def sample(lora_flat, frozen_params, embeds, pooled, neg_embeds,
+               neg_pooled, key, rt):
+        del neg_embeds, neg_pooled
+        params = {**frozen_params,
+                  "params": merge_lora_params(frozen_params["params"],
+                                              lora_flat)}
+        vfn = pipeline.velocity_fn(params)
+        B = embeds.shape[0]
+        k_lat, k_roll = jax.random.split(key)
+        if same_latent and group_size > 1:
+            lat0 = pipeline.prepare_latents(k_lat, B // group_size, latent_hw)
+            lat0 = jnp.repeat(lat0, group_size, axis=0)
+        else:
+            lat0 = pipeline.prepare_latents(k_lat, B, latent_hw)
+        out = flux_denoise_window_with_logprob(
+            lambda x, t: vfn(x, t, embeds, pooled), lat0, k_roll,
+            sampler_cfg.num_steps, sampler_cfg.train_num_steps,
+            sampler_cfg.noise_level, rt)
+        images = pipeline.decode(out.final_latents)
+        return out, images
+
+    return sample
+
+
+def make_flux_eval_fn(pipeline, eval_cfg: SamplerConfig, latent_hw: int):
+    """Deterministic Flux eval generation (noise_level 0 -> the Flow-SDE
+    step degenerates to the deterministic flow update)."""
+    from adv_grpo_tpu.rollout.flux import flux_denoise_window_with_logprob
+
+    @jax.jit
+    def evaluate(lora_flat, frozen_params, embeds, pooled, neg_embeds,
+                 neg_pooled, key):
+        del neg_embeds, neg_pooled
+        params = {**frozen_params,
+                  "params": merge_lora_params(frozen_params["params"],
+                                              lora_flat)}
+        vfn = pipeline.velocity_fn(params)
+        k_lat, k_roll = jax.random.split(key)
+        lat0 = pipeline.prepare_latents(k_lat, embeds.shape[0], latent_hw)
+        out = flux_denoise_window_with_logprob(
+            lambda x, t: vfn(x, t, embeds, pooled), lat0, k_roll,
+            eval_cfg.num_steps, 0, eval_cfg.noise_level, 0)
+        return pipeline.decode(out.final_latents)
+
+    return evaluate
+
+
 def make_eval_fn(pipeline, eval_cfg: SamplerConfig, latent_hw: int):
     """Deterministic eval generation (noise 0, fixed key — reference eval(),
     train_sd3_fast_pickscore.py:269-382; uses EMA weights when enabled)."""
@@ -144,6 +201,14 @@ def make_train_epoch_fn(pipeline, sampler_cfg: SamplerConfig, train_cfg,
     T = sampler_cfg.train_num_steps
     clip_range = float(train_cfg.clip_range)
     adv_clip_max = float(train_cfg.adv_clip_max)
+    # family seam: the window-step log-prob replay is the only model-family-
+    # specific piece of the training epoch (SD3: CPS step + CFG batch; Flux:
+    # Flow-SDE step, embedded guidance). Signatures are identical.
+    if getattr(pipeline, "family", "sd3") == "flux":
+        from adv_grpo_tpu.rollout.flux import compute_flux_log_prob
+        log_prob_fn = compute_flux_log_prob
+    else:
+        log_prob_fn = compute_log_prob
 
     def microstep(state: GeneratorState, frozen_params, mb, neg_embeds,
                   neg_pooled):
@@ -151,13 +216,13 @@ def make_train_epoch_fn(pipeline, sampler_cfg: SamplerConfig, train_cfg,
             params = {**frozen_params,
                       "params": merge_lora_params(frozen_params["params"], lora_flat)}
             vfn = pipeline.velocity_fn(params)
-            lp, mean, _ = compute_log_prob(
+            lp, mean, _ = log_prob_fn(
                 vfn, mb["latents"], mb["next_latents"], mb["t"], mb["sigma"],
                 mb["sigma_prev"], mb["embeds"], mb["pooled"], neg_embeds,
                 neg_pooled, sampler_cfg)
             if beta > 0.0:
                 vfn_ref = pipeline.velocity_fn(params, lora_scale=0.0)
-                _, mean_ref, _ = compute_log_prob(
+                _, mean_ref, _ = log_prob_fn(
                     vfn_ref, mb["latents"], mb["next_latents"], mb["t"],
                     mb["sigma"], mb["sigma_prev"], mb["embeds"], mb["pooled"],
                     neg_embeds, neg_pooled, sampler_cfg)

@@ -31,6 +31,25 @@ def mmdit_forward_flops(cfg, s_img: int, s_txt: int, batch: int) -> float:
     return batch * (main + dual + embed)
 
 
+def flux_forward_flops(cfg, s_img: int, s_txt: int, batch: int) -> float:
+    """Matmul+attention FLOPs of ONE FluxTransformer forward.
+
+    Double blocks: per token per stream q/k/v/out 4D^2 + MLP 8D^2 params;
+    single blocks: fused q/k/v (3D^2) + proj_mlp (4D^2) + proj_out from the
+    [attn ; mlp] concat (5D^2) — 12D^2 params per token either way. Joint
+    attention is 4*S_tot^2*D per block in both phases.
+    """
+    D = cfg.hidden_dim
+    s_tot = s_img + s_txt
+    per_token = 2.0 * 12 * D * D  # FLOPs per token per block (both kinds)
+    attn = 4.0 * s_tot**2 * D
+    main = (cfg.num_double_layers + cfg.num_single_layers) * (
+        per_token * s_tot + attn)
+    embed = 2.0 * (s_txt * cfg.joint_attention_dim * D
+                   + s_img * cfg.in_channels * D)
+    return batch * (main + embed)
+
+
 def rollout_flops(cfg, s_img: int, s_txt: int, batch: int, num_steps: int,
                   do_cfg: bool, prefix_steps: int = 0,
                   group_size: int = 1) -> float:

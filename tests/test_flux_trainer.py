@@ -1,0 +1,163 @@
+"""Flux GRPO trainability (VERDICT r3 next #10): the unified driver trains the
+Flux family end-to-end on the 8-device mesh — full-SDE window rollout
+(reference flux_pipeline_with_logprob.py:141-187), Flow-SDE log-prob replay,
+LoRA policy update. The reference never shipped a Flux trainer; this closes
+the one seam its Flow-GRPO lineage leaves open."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adv_grpo_tpu.config import grpo as grpo_config
+from adv_grpo_tpu.cli.common import make_hash_text_encoder
+from adv_grpo_tpu.models.flux import FluxConfig
+from adv_grpo_tpu.models.lora import lora_params, merge_lora_params
+from adv_grpo_tpu.models.vae import VAEConfig
+from adv_grpo_tpu.rollout.flux import (
+    compute_flux_log_prob, flux_denoise_window_with_logprob,
+)
+from adv_grpo_tpu.rollout.sampler import SamplerConfig
+from adv_grpo_tpu.train.driver import GRPOTrainer
+from adv_grpo_tpu.train.flux_pipeline import FluxPipeline
+
+
+class _ToyDataset:
+    def __init__(self, n=16):
+        self.prompts = [f"flux prompt {i}" for i in range(n)]
+
+    def __len__(self):
+        return len(self.prompts)
+
+    def __getitem__(self, i):
+        return {"prompt": self.prompts[i], "metadata": {}}
+
+
+def brightness_reward(images, prompts, metadata=None, ref_images=None):
+    scores = np.asarray(jnp.mean(images.astype(jnp.float32), axis=(1, 2, 3)))
+    noise = np.array([abs(hash(p)) % 7 / 70.0 for p in prompts])
+    avg = scores + noise
+    return {"brightness": avg, "avg": avg}, {}
+
+
+def flux_test_config(**overrides):
+    cfg = grpo_config.flux_smoke()
+    # the 8-device CI mesh needs a mesh-divisible batch: 8 slots x 2 images
+    cfg.sample.num_steps = 3
+    cfg.sample.train_num_steps = 1
+    cfg.sample.mini_num_image_per_prompt = 2
+    cfg.sample.num_image_per_prompt = 4  # k = 2 replicas per prompt group
+    cfg.sample.train_batch_size = 2
+    cfg.train.batch_size = 2
+    cfg.sample.num_batches_per_epoch = 2
+    cfg.train.gradient_accumulation_steps = 1
+    cfg.save_dir = ""
+    cfg.wandb_init = False
+    for k, v in overrides.items():
+        cfg[k] = v
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def flux_pipeline():
+    fcfg = FluxConfig.tiny(lora_rank=4, lora_alpha=8.0)
+    vcfg = VAEConfig.tiny(latent_channels=fcfg.in_channels // 4)
+    return FluxPipeline.random_init(jax.random.PRNGKey(0), fcfg, vcfg,
+                                    latent_hw=8, text_seq_len=6,
+                                    guidance=3.5)
+
+
+def make_trainer(flux_pipeline, cfg, **kw):
+    encode = make_hash_text_encoder(
+        6, flux_pipeline.flux_cfg.joint_attention_dim,
+        flux_pipeline.flux_cfg.pooled_projection_dim)
+    return GRPOTrainer(cfg, flux_pipeline, _ToyDataset(), encode,
+                       brightness_reward, latent_hw=8, **kw)
+
+
+class TestFluxTrainer:
+    def test_two_epochs_update_policy(self, flux_pipeline):
+        trainer = make_trainer(flux_pipeline, flux_test_config())
+        assert trainer.family == "flux"
+        assert not trainer.shared_prefix  # no deterministic prefix exists
+        lora_before = jax.tree_util.tree_map(np.asarray, trainer.state.lora)
+        trainer.run(max_epochs=2)
+        assert trainer.epoch == 2
+        for loss in trainer.last_inner_losses:
+            assert np.isfinite(loss)
+        delta = max(float(np.max(np.abs(np.asarray(b) - lora_before[k])))
+                    for k, b in trainer.state.lora.items())
+        assert delta > 0
+
+    def test_window_replay_identity(self, flux_pipeline):
+        """The training-side Flow-SDE log-prob replay must reproduce the
+        rollout's recorded log-probs exactly (same params, recorded
+        transitions) — the Flux analogue of the SD3 replay-identity test."""
+        pipe = flux_pipeline
+        scfg = SamplerConfig(num_steps=4, train_num_steps=2,
+                             guidance_scale=1.0, noise_level=0.7)
+        B, S_txt = 4, 6
+        frozen = pipe.transformer_params
+        lora = lora_params(frozen["params"])
+        params = {**frozen,
+                  "params": merge_lora_params(frozen["params"], lora)}
+        vfn = pipe.velocity_fn(params)
+        embeds = jax.random.normal(jax.random.PRNGKey(1),
+                                   (B, S_txt, pipe.flux_cfg.joint_attention_dim),
+                                   jnp.float32) * 0.1
+        pooled = jax.random.normal(jax.random.PRNGKey(2),
+                                   (B, pipe.flux_cfg.pooled_projection_dim),
+                                   jnp.float32) * 0.1
+        lat0 = pipe.prepare_latents(jax.random.PRNGKey(3), B, 8)
+        rt = jnp.array([0, 1, 2, 1], jnp.int32)
+        out = flux_denoise_window_with_logprob(
+            lambda x, t: vfn(x, t, embeds, pooled), lat0,
+            jax.random.PRNGKey(4), scfg.num_steps, scfg.train_num_steps,
+            scfg.noise_level, rt)
+        for j in range(scfg.train_num_steps):
+            lp, _, _ = compute_flux_log_prob(
+                vfn, out.latents[:, j], out.latents[:, j + 1],
+                out.timesteps[:, j], out.sigmas[:, j], out.sigmas_prev[:, j],
+                embeds, pooled, None, None, scfg)
+            np.testing.assert_allclose(np.asarray(lp),
+                                       np.asarray(out.log_probs[:, j]),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_window_gather_matches_full_trajectory(self, flux_pipeline):
+        """Per-sample windows must slice the SAME trajectory the full-SDE
+        rollout produced (rt=0 window == trajectory head)."""
+        pipe = flux_pipeline
+        B, S_txt = 2, 6
+        frozen = pipe.transformer_params
+        lora = lora_params(frozen["params"])
+        params = {**frozen,
+                  "params": merge_lora_params(frozen["params"], lora)}
+        vfn = pipe.velocity_fn(params)
+        embeds = jnp.zeros((B, S_txt, pipe.flux_cfg.joint_attention_dim))
+        pooled = jnp.zeros((B, pipe.flux_cfg.pooled_projection_dim))
+        lat0 = pipe.prepare_latents(jax.random.PRNGKey(5), B, 8)
+        key = jax.random.PRNGKey(6)
+        fn = lambda x, t: vfn(x, t, embeds, pooled)
+        out_w = flux_denoise_window_with_logprob(fn, lat0, key, 3, 3, 0.7, 0)
+        out_full = flux_denoise_window_with_logprob(fn, lat0, key, 3, 2, 0.7,
+                                                    jnp.zeros((B,), jnp.int32))
+        np.testing.assert_allclose(np.asarray(out_w.latents[:, :3]),
+                                   np.asarray(out_full.latents),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_w.log_probs[:, :2]),
+                                   np.asarray(out_full.log_probs),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_checkpoint_roundtrip(self, flux_pipeline, tmp_path):
+        cfg = flux_test_config(save_dir=str(tmp_path))
+        trainer = make_trainer(flux_pipeline, cfg)
+        trainer.run(max_epochs=1)
+        trainer.save()
+        trainer2 = make_trainer(flux_pipeline, cfg)
+        from adv_grpo_tpu.train import checkpoint as ckpt_lib
+
+        path = ckpt_lib.latest_checkpoint(str(tmp_path))
+        trainer2.restore(path)
+        for k, a in trainer.state.lora.items():
+            np.testing.assert_array_equal(np.asarray(a),
+                                          np.asarray(trainer2.state.lora[k]))
