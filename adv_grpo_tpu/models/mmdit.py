@@ -78,9 +78,13 @@ class MMDiTConfig:
     #   "save_attn_ff"  also keeps the 4x-wide fc1 outputs (+~5.5GB @CFG-16)
     #   "save_attn_qkv" also keeps the q/k/v projections   (+~4.3GB @CFG-16)
     #   "save_big"      keeps all of the above
-    # Measured (scripts/profile_train_remat.py): all three richer tiers
-    # RESOURCE_EXHAUSTED on a 16GB v5e at the production shape — they are
-    # for v5p/v6e-class HBM, where they cut the ~25% remat re-forward.
+    # Measured (scripts/profile_train_remat.py, r4, 16GB v5e @CFG-16/512^2):
+    # at train.micro_splits=1 only save_attn fits; with the sample-axis
+    # micro_splits (and/or train.cfg_sequential) shrinking the live set, the
+    # richer tiers fit AND pay: save_attn 1.095 s/microstep -> save_big x4
+    # 0.873 s (-20%, the ~25% remat re-forward mostly removed). Single-chip
+    # v5e best: save_big + micro_splits=4; multi-chip meshes need the split
+    # microbatch to stay device-divisible (train/driver.py validates).
     remat_policy: str = "save_attn"
     attention_backend: Optional[str] = None  # None = auto per platform
     # q/k/v (and their LoRA A factors) projected by ONE matmul per stream —
