@@ -106,13 +106,28 @@ def main(argv=None):
                         guidance_scale=float(config.sample.guidance_scale))
     hw = args.latent_hw or int(config.resolution) // 8
 
-    @jax.jit
-    def generate(params, embeds, pooled, neg_e, neg_p, key):
-        lat = jax.random.normal(
-            key, (embeds.shape[0], pipeline.mmdit_cfg.in_channels, hw, hw))
-        out = denoise_with_logprob(pipeline.velocity_fn(params), lat, embeds,
-                                   pooled, neg_e, neg_p, key, cfg, 0)
-        return pipeline.decode(out.final_latents)
+    if getattr(pipeline, "family", "sd3") == "flux":
+        from adv_grpo_tpu.rollout.flux import flux_denoise_window_with_logprob
+
+        @jax.jit
+        def generate(params, embeds, pooled, neg_e, neg_p, key):
+            del neg_e, neg_p  # Flux guidance is embedded, not a CFG batch
+            k_lat, k_roll = jax.random.split(key)
+            lat0 = pipeline.prepare_latents(k_lat, embeds.shape[0], hw)
+            vfn = pipeline.velocity_fn(params)
+            out = flux_denoise_window_with_logprob(
+                lambda x, t: vfn(x, t, embeds, pooled), lat0, k_roll,
+                cfg.num_steps, 0, 0.0, 0)
+            return pipeline.decode(out.final_latents)
+    else:
+        @jax.jit
+        def generate(params, embeds, pooled, neg_e, neg_p, key):
+            lat = jax.random.normal(
+                key, (embeds.shape[0], pipeline.mmdit_cfg.in_channels, hw, hw))
+            out = denoise_with_logprob(pipeline.velocity_fn(params), lat,
+                                       embeds, pooled, neg_e, neg_p, key, cfg,
+                                       0)
+            return pipeline.decode(out.final_latents)
 
     reward_fn = None
     if args.rewards:

@@ -74,7 +74,24 @@ def main(argv=None):
     hw = args.latent_hw or int(config.resolution) // 8
 
     image_path = args.image or str(config.get("external_image_path", ""))
-    if image_path:
+    family = getattr(pipeline, "family", "sd3")
+    if family == "flux" and image_path:
+        raise SystemExit("--image distribution transfer is an SD3 entry "
+                         "(flux_to_sd3_denoise); use an sd3 config")
+    if family == "flux":
+        from adv_grpo_tpu.rollout.flux import flux_denoise_window_with_logprob
+
+        @jax.jit
+        def generate(key):
+            k_lat, k_roll = jax.random.split(key)
+            lat0 = pipeline.prepare_latents(k_lat, len(prompts), hw)
+            vfn = pipeline.velocity_fn(params)
+            out = flux_denoise_window_with_logprob(
+                lambda x, t: vfn(x, t, jnp.asarray(embeds),
+                                 jnp.asarray(pooled)),
+                lat0, k_roll, cfg.num_steps, 0, 0.0, 0)
+            return pipeline.decode(out.final_latents)
+    elif image_path:
         # distribution transfer: encode the external image, forward-noise at
         # start_idx, denoise the suffix deterministically
         from PIL import Image as _Image
