@@ -156,12 +156,39 @@ def build_pipeline(config, latent_hw: Optional[int] = None):
             jax.random.PRNGKey(int(config.seed)), fcfg,
             VAEConfig.tiny(latent_channels=fcfg.in_channels // 4),
             latent_hw=latent_hw or 8, text_seq_len=6, guidance=g)
+    if family == "wan":
+        from adv_grpo_tpu.models.wan import WanConfig
+        from adv_grpo_tpu.models.wan_vae import WanVAEConfig
+        from adv_grpo_tpu.train.wan_pipeline import WanPipeline
+
+        if model_dir and os.path.isdir(model_dir):
+            frames = int(config.sample.get("num_frames", 9))
+            return WanPipeline.from_pretrained(
+                model_dir, lora_rank=lora_rank,
+                lora_alpha=float(config.train.lora_alpha), dtype=dtype,
+                remat=bool(config.tpu.remat),
+                attention_backend=config.tpu.attention_backend,
+                latent_frames=1 + (frames - 1) // 4)
+        if model_dir and not smoke:
+            raise FileNotFoundError(
+                f"config.pretrained.model={model_dir!r} is not a local "
+                f"diffusers WanTransformer3DModel directory; set WAN_DIR to "
+                f"converted weights, or smoke_test=True for random-init")
+        # tiny random-init smoke (wan_smoke preset / CI)
+        wcfg = WanConfig.tiny(
+            lora_rank=max(lora_rank, 1) if lora_rank else 4,
+            attention_backend=config.tpu.attention_backend)
+        vcfg = WanVAEConfig.tiny(
+            z_dim=wcfg.in_channels,
+            latents_mean=(0.0,) * wcfg.in_channels,
+            latents_std=(1.0,) * wcfg.in_channels)
+        return WanPipeline.random_init(
+            jax.random.PRNGKey(int(config.seed)), wcfg, vcfg,
+            latent_hw=latent_hw or 8, latent_frames=2, text_seq_len=6)
     if family not in ("sd3", ""):
         raise ValueError(
-            f"model_family={family!r} has no trainer pipeline; 'sd3' and "
-            "'flux' are GRPO-trainable, 'wan' is driven by "
-            "scripts/demo/wan_sde_demo.py (the reference ships WAN the same "
-            "way: a sampler library, no WAN trainer)")
+            f"model_family={family!r} has no trainer pipeline; sd3, flux, "
+            "and wan are GRPO-trainable")
     tpu_kw = dict(remat=bool(config.tpu.remat),
                   remat_policy=str(config.tpu.get("remat_policy", "save_attn")),
                   attention_backend=config.tpu.attention_backend)
@@ -200,11 +227,15 @@ def build_text_encoder(config, pipeline):
     model_dir = str(config.pretrained.model)
     if model_dir and os.path.isdir(os.path.join(model_dir, "text_encoder")):
         return load_real_text_encoder(config, pipeline)
-    mcfg = getattr(pipeline, "mmdit_cfg", None) or pipeline.flux_cfg
+    mcfg = (getattr(pipeline, "mmdit_cfg", None)
+            or getattr(pipeline, "flux_cfg", None)
+            or pipeline.wan_cfg)
     return make_hash_text_encoder(
         seq_len=pipeline.text_seq_len,
-        embed_dim=mcfg.joint_attention_dim,
-        pooled_dim=mcfg.pooled_projection_dim)
+        embed_dim=getattr(mcfg, "joint_attention_dim", None) or mcfg.text_dim,
+        # WAN has no pooled conditioning; the driver still threads a pooled
+        # array, so give it a tiny dummy width
+        pooled_dim=getattr(mcfg, "pooled_projection_dim", 8))
 
 
 def make_hash_text_encoder(seq_len: int, embed_dim: int, pooled_dim: int):

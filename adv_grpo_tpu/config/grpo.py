@@ -234,6 +234,19 @@ def wan_smoke():
     config.wandb_init = False
     config.save_dir = "logs/wan_smoke"
     config.case_name = "wan_smoke"
+    # GRPO-trainable (round 4): window [rt, rt+2) of the stochastic video
+    # trajectory, 2 one-group batches/epoch, compressibility on the decoded
+    # frames — a CI-sized run of cli.train --config wan_smoke
+    config.dataset = os.path.join(os.getcwd(), "dataset/pickscore_small")
+    config.prompt_fn = "general_ocr"
+    config.sample.train_num_steps = 2
+    config.sample.train_batch_size = 1
+    config.sample.num_image_per_prompt = 2
+    config.sample.mini_num_image_per_prompt = 2
+    config.sample.num_batches_per_epoch = 2
+    config.train.batch_size = 2
+    config.train.gradient_accumulation_steps = 1
+    config.reward_fn = {"jpeg_compressibility": 1}
     return config
 
 

@@ -1096,10 +1096,29 @@ def load_flux_transformer(model_dir: str, *, dtype=None, remat=True,
     return cfg, cast_tree_bf16(params) if cfg.dtype == jnp.bfloat16 else params
 
 
+def _add_wan_lora_leaves(params: Dict, cfg) -> Dict:
+    """Insert PEFT-init adapters on the WAN attention projections models.wan
+    gives LoRA (self q/k/v/out + cross q/k/v/out)."""
+    rng = np.random.default_rng(0)
+    r = cfg.lora_rank
+    names = ("to_q", "to_k", "to_v", "to_out", "cross_to_q", "cross_to_k",
+             "cross_to_v", "cross_to_out")
+    for i in range(cfg.num_layers):
+        blk = params[f"block_{i}"]
+        for name in names:
+            leaf = blk[name]
+            kin, kout = leaf["kernel"].shape
+            leaf["lora_a"] = rng.normal(0, 1.0 / r, (kin, r)).astype(np.float32)
+            leaf["lora_b"] = np.zeros((r, kout), np.float32)
+    return params
+
+
 def load_wan_transformer(model_dir: str, *, dtype=None, remat=True,
-                         attention_backend=None):
+                         attention_backend=None, lora_rank=0,
+                         lora_alpha=1.0):
     """(WanConfig, params) from a local diffusers WanTransformer3DModel
-    directory (wan_pipeline_with_logprob.py loads it via WanPipeline)."""
+    directory (wan_pipeline_with_logprob.py loads it via WanPipeline).
+    ``lora_rank > 0`` inserts fresh PEFT-init adapters for GRPO training."""
     import jax.numpy as jnp
 
     from adv_grpo_tpu.models.wan import WanConfig
@@ -1121,8 +1140,11 @@ def load_wan_transformer(model_dir: str, *, dtype=None, remat=True,
         rope_axes_dims=(d - 2 * hw, hw, hw),
         cross_attn_norm=tc.get("cross_attn_norm", True),
         dtype=dtype or jnp.bfloat16, remat=remat,
-        attention_backend=attention_backend)
+        attention_backend=attention_backend, lora_rank=lora_rank,
+        lora_alpha=lora_alpha)
     params = convert_wan(load_torch_state_dict(model_dir), cfg)
+    if lora_rank > 0:
+        params = _add_wan_lora_leaves(params, cfg)
     return cfg, cast_tree_bf16(params) if cfg.dtype == jnp.bfloat16 else params
 
 

@@ -51,6 +51,10 @@ class WanConfig:
     # sibling projections of one activation as ONE matmul: self-attn q/k/v,
     # cross-attn k/v over text (models.lora.fused_qkv_proj)
     fused_qkv: bool = True
+    # LoRA on the attention projections (self q/k/v/out + cross q/k/v/out),
+    # mirroring the MMDiT/Flux coverage. rank 0 == plain Dense.
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
 
     @property
     def hidden_dim(self) -> int:
@@ -80,7 +84,7 @@ class WanBlock(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, x, text, temb6, cos, sin):
+    def __call__(self, x, text, temb6, cos, sin, lora_scale=1.0):
         c = self.cfg
         H, d = c.num_attention_heads, c.attention_head_dim
         dim = c.hidden_dim
@@ -91,8 +95,9 @@ class WanBlock(nn.Module):
         mods = [table[i][None].astype(c.dtype) + temb6[i] for i in range(6)]
         shift_sa, scale_sa, gate_sa, shift_ff, scale_ff, gate_ff = mods
 
-        dense = lambda n: nn.Dense(dim, dtype=c.dtype, param_dtype=jnp.float32,
-                                   name=n)
+        dense = lambda n: (lambda y: LoRADense(
+            dim, lora_rank=c.lora_rank, lora_alpha=c.lora_alpha,
+            dtype=c.dtype, name=n)(y, lora_scale=lora_scale))
 
         # self-attention with 3D RoPE (transpose-free BSHD layout: pad fuses
         # into one zero-tail concat per tensor). WAN's qk-norm is
@@ -104,9 +109,11 @@ class WanBlock(nn.Module):
         if c.fused_qkv:
             # LoRADense(rank=0) == Dense (same kernel/bias tree + init); one
             # matmul reads the modulated activation once for q/k/v
-            mk = lambda n: LoRADense(dim, lora_rank=0, dtype=c.dtype,
+            mk = lambda n: LoRADense(dim, lora_rank=c.lora_rank,
+                                     lora_alpha=c.lora_alpha, dtype=c.dtype,
                                      in_features=h.shape[-1], name=n)
-            q, k, v = fused_qkv_proj([mk("to_q"), mk("to_k"), mk("to_v")], h)
+            q, k, v = fused_qkv_proj([mk("to_q"), mk("to_k"), mk("to_v")], h,
+                                     lora_scale)
             q, k = rms("norm_q")(q), rms("norm_k")(k)
         else:
             q = rms("norm_q")(dense("to_q")(h))
@@ -137,9 +144,11 @@ class WanBlock(nn.Module):
         St = text.shape[1]
         q = rms("cross_norm_q")(dense("cross_to_q")(hq))
         if c.fused_qkv:
-            mkt = lambda n: LoRADense(dim, lora_rank=0, dtype=c.dtype,
+            mkt = lambda n: LoRADense(dim, lora_rank=c.lora_rank,
+                                      lora_alpha=c.lora_alpha, dtype=c.dtype,
                                       in_features=text.shape[-1], name=n)
-            k, v = fused_qkv_proj([mkt("cross_to_k"), mkt("cross_to_v")], text)
+            k, v = fused_qkv_proj([mkt("cross_to_k"), mkt("cross_to_v")],
+                                  text, lora_scale)
             k = rms("cross_norm_k")(k)
         else:
             k = rms("cross_norm_k")(dense("cross_to_k")(text))
@@ -174,7 +183,7 @@ class WanTransformer(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, latents, timestep, text_states):
+    def __call__(self, latents, timestep, text_states, lora_scale=1.0):
         c = self.cfg
         dim = c.hidden_dim
         pt, ph, pw = c.patch_size
@@ -208,7 +217,8 @@ class WanTransformer(nn.Module):
 
         block = nn.remat(WanBlock) if c.remat else WanBlock
         for i in range(c.num_layers):
-            x = block(c, name=f"block_{i}")(x, text, temb6, cos, sin)
+            x = block(c, name=f"block_{i}")(x, text, temb6, cos, sin,
+                                            lora_scale)
 
         # output modulation: (table + t_emb) chunked into shift/scale —
         # diffusers WanTransformer3DModel adds the TIME embedding to both rows

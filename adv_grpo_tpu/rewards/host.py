@@ -20,10 +20,14 @@ from adv_grpo_tpu.native.lib import levenshtein, images_to_uint8
 def jpeg_incompressibility(images_u8: np.ndarray) -> np.ndarray:
     """JPEG(quality 95) byte size / 1000 per image (reference rewards.py:13-26).
 
-    images_u8: (N, H, W, 3) uint8.
+    images_u8: (N, H, W, 3) uint8, or (N, T, H, W, 3) video clips (scored
+    per frame, mean per clip — the video_ocr frame-mean convention).
     """
     from PIL import Image
 
+    if images_u8.ndim == 5:
+        return np.asarray([np.mean(jpeg_incompressibility(clip))
+                           for clip in images_u8], dtype=np.float64)
     sizes = []
     for arr in images_u8:
         buf = io.BytesIO()

@@ -104,3 +104,107 @@ def wan_denoise_with_logprob(
         [latents.astype(jnp.float32)[:, None], jnp.moveaxis(ys["x"], 0, 1)], axis=1)
     return WanRolloutResult(final, all_lat, jnp.moveaxis(ys["lp"], 0, 1),
                             jnp.moveaxis(ys["kl"], 0, 1))
+
+
+class WanWindowResult(NamedTuple):
+    """Driver-contract window rollout (same field names as
+    rollout.sampler.RolloutResult, plus the per-step KL vector)."""
+
+    final_latents: jax.Array  # (B, C, F, H, W)
+    latents: jax.Array  # (B, T+1, C, F, H, W)
+    log_probs: jax.Array  # (B, T)
+    timesteps: jax.Array  # (B, T)
+    sigmas: jax.Array  # (B, T)
+    sigmas_prev: jax.Array  # (B, T)
+    kl: jax.Array  # (B, T) — zeros when kl_reward == 0
+
+
+def wan_denoise_window_with_logprob(
+    velocity_fn: Callable,  # (latents, t_vec, lora_scale) -> velocity
+    latents: jax.Array,
+    key: jax.Array,
+    cfg: WanSamplerConfig,
+    train_num_steps: int,
+    rt,
+):
+    """GRPO-trainable WAN rollout: the full stochastic trajectory (reference
+    wan_pipeline_with_logprob.py:229-341 — every step stochastic) with the
+    training window [rt, rt+T) gathered per sample, exactly like the Flux
+    window rollout. ``rt`` may be a traced (B,) array or a scalar."""
+    sigmas_np, timesteps_np = wan_schedule(cfg.num_steps, cfg.shift,
+                                           cfg.num_train_timesteps)
+    sigmas = jnp.asarray(sigmas_np)
+    timesteps = jnp.asarray(timesteps_np)
+    sigma_min = float(sigmas_np[-1])
+    sigma_max = float(sigmas_np[1])
+    B = latents.shape[0]
+    T = int(train_num_steps)
+
+    def step(carry, i):
+        x, k = carry
+        t = jnp.full((B,), timesteps[i])
+        v = velocity_fn(x, t, 1.0)
+        k, sub = jax.random.split(k)
+        noise = jax.random.normal(sub, x.shape, jnp.float32)
+        out = wan_sde_step_with_logprob(
+            v, x, sigmas[i], sigmas[i + 1], sigma_min=sigma_min,
+            sigma_max=sigma_max, noise=noise, deterministic=cfg.deterministic)
+        if cfg.kl_reward > 0:
+            v_ref = jax.lax.stop_gradient(velocity_fn(x, t, 0.0))
+            ref = wan_sde_step_with_logprob(
+                v_ref, x, sigmas[i], sigmas[i + 1], sigma_min=sigma_min,
+                sigma_max=sigma_max, prev_sample=out.prev_sample)
+            kl = jnp.mean(
+                (out.prev_sample_mean - ref.prev_sample_mean) ** 2
+                / (2.0 * out.std_dev_t**2),
+                axis=tuple(range(1, x.ndim)))
+        else:
+            kl = jnp.zeros((B,))
+        ys = dict(x=out.prev_sample, lp=out.log_prob, kl=kl)
+        return (out.prev_sample, k), ys
+
+    (final, _), ys = jax.lax.scan(
+        step, (latents.astype(jnp.float32), key), jnp.arange(cfg.num_steps))
+    all_lat = jnp.concatenate(
+        [latents.astype(jnp.float32)[:, None], jnp.moveaxis(ys["x"], 0, 1)],
+        axis=1)  # (B, n+1, C, F, H, W)
+    lps = jnp.moveaxis(ys["lp"], 0, 1)
+    kls = jnp.moveaxis(ys["kl"], 0, 1)
+
+    rt = jnp.broadcast_to(jnp.asarray(rt, jnp.int32), (B,))
+    w = rt[:, None] + jnp.arange(T)[None, :]  # (B, T)
+    w_lat = rt[:, None] + jnp.arange(T + 1)[None, :]
+    lat_w = jnp.take_along_axis(
+        all_lat, w_lat[:, :, None, None, None, None], axis=1)
+    return WanWindowResult(
+        final_latents=final,
+        latents=lat_w,
+        log_probs=jnp.take_along_axis(lps, w, axis=1),
+        timesteps=timesteps[w],
+        sigmas=sigmas[w],
+        sigmas_prev=sigmas[w + 1],
+        kl=jnp.take_along_axis(kls, w, axis=1),
+    )
+
+
+def make_wan_log_prob_fn(cfg: WanSamplerConfig):
+    """Training-side log-prob replay for one WAN window step (signature-
+    compatible with rollout.sampler.compute_log_prob — the trainer's family
+    seam). The negative embeddings are unused (no CFG batch); ``pooled`` is
+    unused (WAN conditions on text states only)."""
+    sigmas_np, _ = wan_schedule(cfg.num_steps, cfg.shift,
+                                cfg.num_train_timesteps)
+    sigma_min = float(sigmas_np[-1])
+    sigma_max = float(sigmas_np[1])
+
+    def log_prob(velocity_fn, latents_j, next_latents_j, t_j, sigma_j,
+                 sigma_prev_j, prompt_embeds, pooled_embeds,
+                 neg_prompt_embeds, neg_pooled_embeds, _scfg):
+        del pooled_embeds, neg_prompt_embeds, neg_pooled_embeds, _scfg
+        v = velocity_fn(latents_j, t_j, prompt_embeds, None)
+        out = wan_sde_step_with_logprob(
+            v, latents_j, sigma_j, sigma_prev_j, sigma_min=sigma_min,
+            sigma_max=sigma_max, prev_sample=next_latents_j)
+        return out.log_prob, out.prev_sample_mean, out.std_dev_t
+
+    return log_prob

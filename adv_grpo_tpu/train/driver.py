@@ -135,18 +135,23 @@ class GRPOTrainer:
         # pre-window forwards). Window start is then global per sampling
         # batch (static rt). Otherwise: independent latents, per-rank windows.
         self.shared_prefix = bool(s.same_latent) and self.mini > 1
-        if self.family == "flux":
+        if self.family in ("flux", "wan"):
             # full-SDE rollouts are stochastic at EVERY step, so a shared
             # deterministic prefix cannot exist; same_latent still shares the
             # group's initial latent
             self.shared_prefix = False
-            from adv_grpo_tpu.train.grpo_trainer import (
-                make_flux_eval_fn, make_flux_sample_fn)
-            self.sample_fn = make_flux_sample_fn(
+            if self.family == "flux":
+                from adv_grpo_tpu.train.grpo_trainer import (
+                    make_flux_eval_fn, make_flux_sample_fn)
+                make_s, make_e = make_flux_sample_fn, make_flux_eval_fn
+            else:
+                from adv_grpo_tpu.train.grpo_trainer import (
+                    make_wan_eval_fn, make_wan_sample_fn)
+                make_s, make_e = make_wan_sample_fn, make_wan_eval_fn
+            self.sample_fn = make_s(
                 pipeline, self.sampler_cfg, latent_hw,
                 same_latent=bool(s.same_latent), group_size=self.mini)
-            self.eval_fn = make_flux_eval_fn(pipeline, self.eval_cfg,
-                                             latent_hw)
+            self.eval_fn = make_e(pipeline, self.eval_cfg, latent_hw)
         elif self.shared_prefix:
             self.sample_fn = make_shared_prefix_sample_fn(
                 pipeline, self.sampler_cfg, latent_hw, group_size=self.mini)
@@ -200,6 +205,10 @@ class GRPOTrainer:
         # (utils.flops: XLA cost_analysis can't price scan loops)
         if self.family == "flux":
             self._s_img = (latent_hw // 2) ** 2  # packed 2x2 tokens
+        elif self.family == "wan":
+            pt, ph, pw = pipeline.wan_cfg.patch_size
+            self._s_img = ((pipeline.latent_frames // pt)
+                           * (latent_hw // ph) * (latent_hw // pw))
         else:
             mc = pipeline.mmdit_cfg
             self._s_img = (latent_hw // mc.patch_size) ** 2
@@ -302,6 +311,8 @@ class GRPOTrainer:
                     self.sampler_cfg.num_steps * flux_forward_flops(
                         self.pipeline.flux_cfg, self._s_img,
                         embeds.shape[1], B))
+            elif self.family == "wan":
+                pass  # no analytic WAN FLOP model yet; metric omitted
             else:
                 from adv_grpo_tpu.utils.flops import rollout_flops
 

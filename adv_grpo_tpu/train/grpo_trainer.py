@@ -171,6 +171,79 @@ def make_flux_eval_fn(pipeline, eval_cfg: SamplerConfig, latent_hw: int):
     return evaluate
 
 
+def _wan_sampler_cfg(pipeline, sampler_cfg: SamplerConfig,
+                     deterministic=False):
+    from adv_grpo_tpu.rollout.wan import WanSamplerConfig
+
+    return WanSamplerConfig(num_steps=sampler_cfg.num_steps,
+                            shift=float(pipeline.shift),
+                            deterministic=deterministic,
+                            kl_reward=float(getattr(pipeline, "kl_reward",
+                                                    0.0)))
+
+
+def make_wan_sample_fn(pipeline, sampler_cfg: SamplerConfig, latent_hw: int,
+                       same_latent: bool = False, group_size: int = 1):
+    """WAN sampling batch: full stochastic video rollout (reference
+    wan_pipeline_with_logprob.py:229-341) + window gather + 3D-VAE decode.
+    Driver-signature-identical; negatives unused (no CFG batch)."""
+    from adv_grpo_tpu.rollout.wan import wan_denoise_window_with_logprob
+
+    wcfg = _wan_sampler_cfg(pipeline, sampler_cfg)
+
+    @jax.jit
+    def sample(lora_flat, frozen_params, embeds, pooled, neg_embeds,
+               neg_pooled, key, rt):
+        del pooled, neg_embeds, neg_pooled
+        params = {**frozen_params,
+                  "params": merge_lora_params(frozen_params["params"],
+                                              lora_flat)}
+        vfn_t = pipeline.velocity_fn(params)
+        vfn_ref = pipeline.velocity_fn(params, lora_scale=0.0)
+
+        def vfn(x, t, lora_scale):
+            # branch is trace-time: the rollout passes python floats
+            return vfn_t(x, t, embeds) if lora_scale else vfn_ref(x, t, embeds)
+
+        B = embeds.shape[0]
+        k_lat, k_roll = jax.random.split(key)
+        if same_latent and group_size > 1:
+            lat0 = pipeline.prepare_latents(k_lat, B // group_size, latent_hw)
+            lat0 = jnp.repeat(lat0, group_size, axis=0)
+        else:
+            lat0 = pipeline.prepare_latents(k_lat, B, latent_hw)
+        out = wan_denoise_window_with_logprob(
+            vfn, lat0, k_roll, wcfg, sampler_cfg.train_num_steps, rt)
+        video = pipeline.decode(out.final_latents)
+        return out, video
+
+    return sample
+
+
+def make_wan_eval_fn(pipeline, eval_cfg: SamplerConfig, latent_hw: int):
+    """Deterministic WAN eval generation (the WAN SDE step's deterministic
+    mode — reference determistic=True flag)."""
+    from adv_grpo_tpu.rollout.wan import wan_denoise_window_with_logprob
+
+    wcfg = _wan_sampler_cfg(pipeline, eval_cfg, deterministic=True)
+
+    @jax.jit
+    def evaluate(lora_flat, frozen_params, embeds, pooled, neg_embeds,
+                 neg_pooled, key):
+        del pooled, neg_embeds, neg_pooled
+        params = {**frozen_params,
+                  "params": merge_lora_params(frozen_params["params"],
+                                              lora_flat)}
+        vfn_t = pipeline.velocity_fn(params)
+        k_lat, k_roll = jax.random.split(key)
+        lat0 = pipeline.prepare_latents(k_lat, embeds.shape[0], latent_hw)
+        out = wan_denoise_window_with_logprob(
+            lambda x, t, s: vfn_t(x, t, embeds), lat0, k_roll, wcfg, 0, 0)
+        return pipeline.decode(out.final_latents)
+
+    return evaluate
+
+
 def make_eval_fn(pipeline, eval_cfg: SamplerConfig, latent_hw: int):
     """Deterministic eval generation (noise 0, fixed key — reference eval(),
     train_sd3_fast_pickscore.py:269-382; uses EMA weights when enabled)."""
@@ -203,10 +276,16 @@ def make_train_epoch_fn(pipeline, sampler_cfg: SamplerConfig, train_cfg,
     adv_clip_max = float(train_cfg.adv_clip_max)
     # family seam: the window-step log-prob replay is the only model-family-
     # specific piece of the training epoch (SD3: CPS step + CFG batch; Flux:
-    # Flow-SDE step, embedded guidance). Signatures are identical.
-    if getattr(pipeline, "family", "sd3") == "flux":
+    # Flow-SDE step, embedded guidance; WAN: UniPC-sigma Flow-SDE step).
+    # Signatures are identical.
+    family = getattr(pipeline, "family", "sd3")
+    if family == "flux":
         from adv_grpo_tpu.rollout.flux import compute_flux_log_prob
         log_prob_fn = compute_flux_log_prob
+    elif family == "wan":
+        from adv_grpo_tpu.rollout.wan import make_wan_log_prob_fn
+        log_prob_fn = make_wan_log_prob_fn(
+            _wan_sampler_cfg(pipeline, sampler_cfg))
     else:
         log_prob_fn = compute_log_prob
 
@@ -318,24 +397,48 @@ def make_pickscore_d_step(scorer, tune_layer: int, d_lr: float):
     """Adversarial PickScore D-step: CLIPCriterion(real=refs, fake=generated),
     Adam(d_lr, betas (0.5, 0.999)) on the unfrozen tail layers (reference
     :151-183, :655-658). Also returns preference accuracy (real ranked above
-    fake) as a D-health diagnostic the reference never logged."""
+    fake) as a D-health diagnostic the reference never logged.
+
+    Memory design: the loss is differentiated wrt ONLY the trainable-tail
+    subtree (the frozen remainder enters under stop_gradient), so XLA
+    dead-code-eliminates the backward through the frozen lower layers and
+    never materialises full-tree grads — with the 2.2B policy resident this
+    is the difference between fitting a 16GB v5e and OOM (the torch
+    reference gets the same effect from requires_grad=False)."""
     import optax
+    from flax import traverse_util as tu
+
     from adv_grpo_tpu.adversarial.clip_criterion import (
         pickscore_d_step_loss_and_acc)
 
+    tx = optax.adam(d_lr, b1=0.5, b2=0.999)
+
     def make(params):
-        mask = scorer_trainable_mask(params, tune_layer)
-        tx = optax.masked(optax.adam(d_lr, b1=0.5, b2=0.999), mask)
-        opt_state = tx.init(params)
+        mask_flat = tu.flatten_dict(scorer_trainable_mask(params, tune_layer))
+
+        def split(p):
+            flat = tu.flatten_dict(p)
+            train = {k: v for k, v in flat.items() if mask_flat[k]}
+            frozen = {k: v for k, v in flat.items() if not mask_flat[k]}
+            return train, frozen
+
+        opt_state = tx.init(split(params)[0])
 
         @jax.jit
         def step(params, opt_state, images_real, images_fake, input_ids):
+            train, frozen = split(params)
+            frozen = {k: jax.lax.stop_gradient(v) for k, v in frozen.items()}
+
+            def loss_fn(tr):
+                full = tu.unflatten_dict({**frozen, **tr})
+                return pickscore_d_step_loss_and_acc(
+                    scorer, full, images_real, images_fake, input_ids)
+
             (loss, acc), grads = jax.value_and_grad(
-                lambda p: pickscore_d_step_loss_and_acc(
-                    scorer, p, images_real, images_fake, input_ids),
-                has_aux=True)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+                loss_fn, has_aux=True)(train)
+            updates, opt_state = tx.update(grads, opt_state, train)
+            train = optax.apply_updates(train, updates)
+            params = tu.unflatten_dict({**frozen, **train})
             return params, opt_state, loss, acc
 
         return step, opt_state

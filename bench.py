@@ -90,6 +90,10 @@ def compiled_flops(jitted, *args) -> float | None:
 def main():
     import os
 
+    from adv_grpo_tpu.cli.common import honor_platform_env
+
+    honor_platform_env()  # JAX_PLATFORMS=cpu smoke runs truly on CPU
+
     import jax
     import jax.numpy as jnp
     import ml_collections
@@ -127,20 +131,50 @@ def main():
                   file=sys.stderr, flush=True)
             return default
 
+    # ── REAL trainer epoch (VERDICT r3 next #3), in a SUBPROCESS with a
+    # clean device heap BEFORE this process claims the chip: a production
+    # trainer runs alone on its chip, and measured in-process the phase OOMs
+    # against the bench's own resident trees/executables. The script runs
+    # GRPOTrainer.run() at the production shape (12x8 @512^2, resident
+    # PickScore, pinned rt=2) and prints wall + the driver's phase totals.
+    trainer_epoch_wall_sec = None
+    trainer_epoch_phases = None
+    if not smoke and not os.environ.get("ADV_GRPO_BENCH_SKIP_TRAINER_EPOCH"):
+        def run_trainer_epoch_subprocess():
+            import subprocess
+            import sys as _sys
+            script = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts",
+                "measure_trainer_epoch.py")
+            out = subprocess.run([_sys.executable, script],
+                                 capture_output=True, text=True,
+                                 timeout=2400)
+            line = out.stdout.strip().splitlines()[-1]
+            d = json.loads(line)
+            if d.get("errors"):
+                errors["trainer_epoch_inner"] = str(d["errors"])[:300]
+            return d
+
+        d = guarded("trainer_epoch", run_trainer_epoch_subprocess) or {}
+        trainer_epoch_wall_sec = d.get("trainer_epoch_wall_sec")
+        trainer_epoch_phases = d.get("trainer_epoch_phase_sec")
+
     dev = jax.devices()[0]
     peak = detect_peak(dev)
 
-    try:
-        # persistent executable cache: the bench compiles ~15 large graphs;
-        # reruns (and the trainer-epoch phase's graph family) hit the cache
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           os.path.join(os.path.dirname(
-                               os.path.abspath(__file__)), ".jax_cache")))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        # persistent executable cache, OPT-IN only: on the axon tunnel a
+        # cache HIT deadlocks the client on deserialize (measured: run 1
+        # populated the cache fine, run 2 hung in its first phase with 0
+        # device progress until killed) — so the bench must not enable it
+        # by itself on this backend
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_COMPILATION_CACHE_DIR"])
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              5.0)
+        except Exception:
+            pass
 
     batch = 8  # mini_num_image_per_prompt (BASELINE.md group layout)
     latent_hw, seq_txt = 64, 154  # 512^2 -> 1024 image tokens + 154 text
@@ -498,11 +532,13 @@ def main():
         return (time.perf_counter() - t0) / (N_MINI * train_T)
 
     # (remat_policy, micro_splits, cfg_sequential) candidates, best-first —
-    # chosen from the measured v5e shootout (scripts/profile_train_remat.py):
-    # richer save sets cut the ~25% remat re-forward; micro_splits and the
-    # sequential CFG re-forward shrink live HBM so those tiers fit 16GB. The
-    # first candidate that runs is the headline; the last is the r3 baseline.
-    TRAIN_GRID = [("save_big", 2, True), ("save_attn_qkv", 2, True),
+    # measured v5e shootout (scripts/profile_train_remat.py, r4): the r3
+    # baseline save_attn x1 = 1.095 s/microstep; richer save sets cut the
+    # ~25% remat re-forward once micro_splits / sequential-CFG shrink the
+    # live working set under 16GB: save_big x4 = 0.873 s (-20%), save_big
+    # x2 seq = 0.925 s, save_attn_ff x2 seq = 0.946 s. The first candidate
+    # that runs is the headline; the last is the r3 baseline.
+    TRAIN_GRID = [("save_big", 4, False), ("save_big", 2, True),
                   ("save_attn", 1, False)]
     if smoke:
         TRAIN_GRID = [("save_attn", 1, False)]
@@ -644,6 +680,9 @@ def main():
         """One adversarial PickScore D-step (pairwise criterion fwd+bwd
         through CLIP-H, masked Adam on the last vision layer) — reference
         train_sd3_fast_pickscore.py:1003-1037."""
+        # drop earlier phases' executables — their pinned constants/buffers
+        # otherwise crowd out the CLIP-H backward (measured OOM without this)
+        jax.clear_caches()
         ps_p = ps_materialise()
         real = jnp.full((batch, 3, imgs_hw, imgs_hw), 0.2, jnp.float32)
         fake = jnp.full((batch, 3, imgs_hw, imgs_hw), 0.1, jnp.float32)
@@ -676,117 +715,6 @@ def main():
                 leaf.delete()
 
     dt_d_step_ps = guarded("pickscore_d_step", time_pickscore_d_step)
-
-    # ── REAL trainer epoch (VERDICT r3 next #3): GRPOTrainer.run() at the
-    # production shape — 12 sampling batches x 8 images, resident PickScore
-    # reward, advantage gather, compiled train epoch — so host-side gaps
-    # (text encode, tunnel pulls in sample_phase, reward-future overlap)
-    # show up in a WALL number the phase sums can be compared against.
-    # Reference bar: the epoch loop at train_sd3_fast_pickscore.py:709-1190.
-    def time_trainer_epoch():
-        import numpy as np
-        from adv_grpo_tpu.config import grpo as grpo_presets
-        from adv_grpo_tpu.train.driver import GRPOTrainer
-        from adv_grpo_tpu.utils.metrics import StepTimer
-
-        tcfg = grpo_presets.pickscore_sd3_fast(replica_count=8)
-        tcfg.wandb_init = False
-        tcfg.save_dir = ""
-        tcfg.max_global_step = 10**9
-        # single-chip group layout: all 8 images of a prompt on this chip
-        tcfg.sample.num_image_per_prompt = batch
-        tcfg.sample.mini_num_image_per_prompt = batch
-        tcfg.sample.num_batches_per_epoch = 1 if smoke else 12
-        tcfg.train.gradient_accumulation_steps = 1 if smoke else 6
-        # pin the window start at rt=2 (~ E[rt]=2.5) so the sample_fn
-        # compiles ONE variant on the tunnel; the shared_prefix phase above
-        # measures the true-mean window cost separately
-        tcfg.sample.random_timestep = 0 if smoke else 2
-        tcfg.sample.num_steps = num_steps
-        tcfg.sample.train_num_steps = train_T
-        if train_cfg_used:
-            tcfg.train.micro_splits = int(train_cfg_used["micro_splits"])
-            tcfg.train.cfg_sequential = bool(
-                train_cfg_used["cfg_sequential"])
-            tcfg.tpu.remat_policy = str(train_cfg_used["remat_policy"])
-        pipe_tr = (pipe if not train_cfg_used
-                   or train_cfg_used["remat_policy"] == "save_attn"
-                   else build_pipe(
-                       None, reuse_pipe=pipe,
-                       remat_policy=train_cfg_used["remat_policy"])[1])
-
-        dataset = [dict(prompt=f"a photo of test object number {i}",
-                        metadata={}) for i in range(16)]
-        emb_rng = np.random.default_rng(0)
-        emb_cache: dict = {}
-
-        def text_encode_fn(prompts):
-            # deterministic per-prompt random embeddings — the production
-            # path is a memmap lookup (data/embed_store.py), so host cost
-            # is comparable; encoder quality is irrelevant to wall time
-            outs = []
-            for p in prompts:
-                if p not in emb_cache:
-                    emb_cache[p] = (
-                        emb_rng.standard_normal(
-                            (1, seq_txt, mcfg.joint_attention_dim),
-                            np.float32) * 0.01,
-                        emb_rng.standard_normal(
-                            (1, mcfg.pooled_projection_dim),
-                            np.float32) * 0.01)
-                outs.append(emb_cache[p])
-            return (np.concatenate([o[0] for o in outs]),
-                    np.concatenate([o[1] for o in outs]))
-
-        ps_p2 = ps_materialise()
-
-        def reward_fn(images, prompts, metadata, ref_images=None):
-            ids_b = jnp.full((len(prompts),) + ids.shape[1:], 3, jnp.int32)
-            s = np.asarray(ps.score(ps_p2, jnp.asarray(images, jnp.float32),
-                                    ids_b), np.float32)
-            return {"avg": s, "pickscore": s}, {}
-
-        class CaptureLogger:
-            def __init__(self):
-                self.rows = []
-
-            def log(self, metrics, step=0):
-                self.rows.append(dict(metrics))
-
-            def log_image_grid(self, *a, **k):
-                pass
-
-        class SnapshotTimer(StepTimer):
-            """StepTimer whose reset() keeps the epoch's phase totals."""
-
-            def __init__(self):
-                super().__init__()
-                self.last_totals: dict = {}
-
-            def reset(self):
-                self.last_totals = dict(self.totals)
-                super().reset()
-
-        cap = CaptureLogger()
-        trainer = GRPOTrainer(tcfg, pipe_tr, dataset, text_encode_fn,
-                              reward_fn, latent_hw=latent_hw, logger=cap)
-        trainer.timer = SnapshotTimer()
-        try:
-            trainer.run(max_epochs=1)  # epoch 0: compile everything
-            t0 = time.perf_counter()
-            trainer.run(max_epochs=2)  # epoch 1: steady state
-            wall = time.perf_counter() - t0
-            phases = {k: round(v, 2)
-                      for k, v in trainer.timer.last_totals.items()}
-            return wall, phases
-        finally:
-            trainer.executor.shutdown(wait=False)
-            for leaf in jax.tree_util.tree_leaves(ps_p2):
-                leaf.delete()
-
-    res = guarded("trainer_epoch", time_trainer_epoch)
-    trainer_epoch_wall_sec = res[0] if res else None
-    trainer_epoch_phases = res[1] if res else None
 
     baseline = REF_IMG_PER_SEC_H100 * peak / H100_PEAK
     # modeled production epoch on ONE chip (BASELINE.md batch math): 12
