@@ -43,7 +43,25 @@ def shard_batch(tree, mesh: Mesh):
 
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+    devices = mesh.devices.flatten()
+
+    def put(x):
+        # skip the no-op: a committed array already placed as the target
+        # sharding requires. On a remote-device backend (the axon tunnel)
+        # the redundant device_put of a multi-GB tree can round-trip through
+        # the host link; placement-wise it changes nothing. For a 1-device
+        # mesh ANY committed array on that device is already "replicated".
+        xsh = getattr(x, "sharding", None)
+        if xsh is not None:
+            if xsh == sh:
+                return x
+            if (len(devices) == 1
+                    and tuple(getattr(xsh, "device_set", ())) == (devices[0],)):
+                return x
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def put_tree(tree, mesh: Mesh, spec: P):

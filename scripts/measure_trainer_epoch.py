@@ -137,11 +137,14 @@ def run_once(combo):
             self.last_totals = dict(self.totals)
             super().reset()
 
+    print(f"[tepoch] building trainer ({combo})", file=sys.stderr, flush=True)
     trainer = GRPOTrainer(tcfg, pipe, dataset, text_encode_fn, reward_fn,
                           latent_hw=latent_hw, logger=CaptureLogger())
     trainer.timer = SnapshotTimer()
     try:
+        print("[tepoch] epoch 0 (compile)", file=sys.stderr, flush=True)
         trainer.run(max_epochs=1)  # epoch 0: compile everything
+        print("[tepoch] epoch 1 (timed)", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         trainer.run(max_epochs=2)  # epoch 1: steady state
         wall = time.perf_counter() - t0
