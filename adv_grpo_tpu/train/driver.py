@@ -312,7 +312,16 @@ class GRPOTrainer:
                         self.pipeline.flux_cfg, self._s_img,
                         embeds.shape[1], B))
             elif self.family == "wan":
-                pass  # no analytic WAN FLOP model yet; metric omitted
+                from adv_grpo_tpu.utils.flops import wan_forward_flops
+
+                # one transformer forward per step (no CFG batch); kl_reward
+                # adds a second, adapterless reference forward per step
+                kl_mult = 2.0 if float(getattr(
+                    self.pipeline, "kl_reward", 0.0)) > 0 else 1.0
+                self._rollout_flops_acc += (
+                    self.sampler_cfg.num_steps * kl_mult * wan_forward_flops(
+                        self.pipeline.wan_cfg, self._s_img,
+                        embeds.shape[1], B))
             else:
                 from adv_grpo_tpu.utils.flops import rollout_flops
 

@@ -50,6 +50,32 @@ def flux_forward_flops(cfg, s_img: int, s_txt: int, batch: int) -> float:
     return batch * (main + embed)
 
 
+def wan_forward_flops(cfg, s_vid: int, s_txt: int, batch: int) -> float:
+    """Matmul+attention FLOPs of ONE WanTransformer forward.
+
+    Per layer: self-attn q/k/v/out (4D^2 params per video token) + cross-attn
+    (q/out on video tokens = 2D^2, k/v on text tokens = 2D^2) + FFN
+    (2*D*ffn_dim params per video token); x2 FLOP/param. Attention:
+    self 4*S^2*D, cross 4*S*S_txt*D. Embedders: patch-embed
+    in_ch*prod(patch)*D per video token, text proj text_dim->D->D per text
+    token, time/AdaLN per-sample (negligible). Mirrors mmdit_forward_flops
+    above (models/wan.py structure; reference wan_pipeline_with_logprob.py
+    runs ONE such forward per denoise step — no CFG batch)."""
+    D = cfg.hidden_dim
+    L = cfg.num_layers
+    self_attn = 2.0 * (4 * D * D) * s_vid + 4.0 * s_vid**2 * D
+    cross = (2.0 * (2 * D * D) * s_vid + 2.0 * (2 * D * D) * s_txt
+             + 4.0 * s_vid * s_txt * D)
+    ffn = 2.0 * (2 * D * cfg.ffn_dim) * s_vid
+    main = L * (self_attn + cross + ffn)
+    p = 1
+    for x in cfg.patch_size:
+        p *= x
+    embed = (2.0 * s_vid * cfg.in_channels * p * D
+             + 2.0 * s_txt * cfg.text_dim * D * 2)
+    return batch * (main + embed)
+
+
 def rollout_flops(cfg, s_img: int, s_txt: int, batch: int, num_steps: int,
                   do_cfg: bool, prefix_steps: int = 0,
                   group_size: int = 1) -> float:
