@@ -125,3 +125,108 @@ def merge_weighted_tasks(task_paths: Dict[str, str], weights: Dict[str, float],
     rng.shuffle(merged)
     write_jsonl(output_path, merged)
     return counts
+
+
+def validate_reference_set(json_paths: Sequence[str], image_dir: str,
+                           expected_variations: Optional[int] = None,
+                           prompts_file: Optional[str] = None,
+                           decode_sample: int = 16,
+                           min_resolution: int = 256,
+                           seed: int = 0) -> Dict:
+    """Certify a reference-image set against the ``prompt2img_node{R}.json``
+    contract BEFORE a cotrain run (VERDICT r4 missing #1).
+
+    The headline adversarial presets train D against references from a
+    stronger external model (Qwen-Image, 8 variations/prompt, 512^2 —
+    reference reference_imgs_scripts/qwen_generate_multi.py:21-24,61-68,
+    122-136); the consumer opens the files mid-epoch and silently falls back
+    to a default image on failure (train_sd3_fast_pickscore.py:773-799), so a
+    broken set degrades the adversarial signal without any error. This
+    validates up front:
+
+      * every JSON parses and maps prompt -> filename | [filenames];
+      * multi-node shards (prompt2img_node{0..R}.json) merge without
+        duplicate prompts;
+      * every referenced file exists in ``image_dir`` and is non-empty;
+      * per-prompt counts match ``expected_variations`` (when given);
+      * every prompt of ``prompts_file`` is covered (when given);
+      * a seeded sample of ``decode_sample`` images actually decodes (PIL)
+        at >= ``min_resolution`` px (0 = decode nothing, -1 = decode ALL).
+
+    Returns a report dict with ``ok`` plus the offending entries (each list
+    truncated to 20 examples for printability; counts are exact).
+    """
+    report: Dict = {"ok": True, "prompts": 0, "files_total": 0,
+                    "duplicate_prompts": [], "empty_prompts": [],
+                    "missing_files": [], "wrong_counts": {},
+                    "uncovered_prompts": [], "undecodable": [],
+                    "decoded_sample": 0}
+
+    def _flag(key, value, limit=20):
+        report["ok"] = False
+        bucket = report[key]
+        if isinstance(bucket, list):
+            if len(bucket) < limit:
+                bucket.append(value)
+        else:
+            bucket.update(value)
+
+    prompt2files: Dict[str, List[str]] = {}
+    for path in json_paths:
+        with open(path, encoding="utf-8") as f:
+            shard = json.load(f)
+        if not isinstance(shard, dict):
+            raise ValueError(f"{path}: expected a JSON object, "
+                             f"got {type(shard).__name__}")
+        for prompt, files in shard.items():
+            if prompt in prompt2files:
+                _flag("duplicate_prompts", prompt)
+            prompt2files[prompt] = ([files] if isinstance(files, str)
+                                    else list(files))
+    report["prompts"] = len(prompt2files)
+
+    all_files: List[str] = []
+    for prompt, files in prompt2files.items():
+        if not files:
+            _flag("empty_prompts", prompt)
+            continue
+        if expected_variations and len(files) != expected_variations:
+            if len(report["wrong_counts"]) < 20:
+                _flag("wrong_counts", {prompt: len(files)})
+            else:
+                report["ok"] = False
+        for name in files:
+            full = os.path.join(image_dir, name)
+            if not os.path.isfile(full) or os.path.getsize(full) == 0:
+                _flag("missing_files", name)
+            else:
+                all_files.append(full)
+    report["files_total"] = len(all_files)
+
+    if prompts_file:
+        with open(prompts_file, encoding="utf-8") as f:
+            wanted = [line.strip() for line in f if line.strip()]
+        for p in wanted:
+            if p not in prompt2files:
+                _flag("uncovered_prompts", p)
+
+    if decode_sample and all_files:
+        from PIL import Image
+
+        rng = random.Random(seed)
+        sample = (all_files if decode_sample < 0
+                  else rng.sample(all_files, min(decode_sample,
+                                                 len(all_files))))
+        for full in sample:
+            try:
+                with Image.open(full) as img:
+                    img.load()
+                    if min(img.size) < min_resolution:
+                        raise ValueError(
+                            f"{img.size} below min_resolution "
+                            f"{min_resolution}")
+            except Exception as e:  # noqa: BLE001 — report, don't abort
+                _flag("undecodable", f"{os.path.basename(full)}: {e}")
+        report["decoded_sample"] = len(sample)
+
+    return report

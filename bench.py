@@ -8,14 +8,20 @@ Times the production compiled functions, not a proxy loop (VERDICT r1 weak #1):
   * train    — ``make_train_epoch_fn``: one minibatch x 2 window steps of the
     compiled GRPO update (CFG re-forward + logprob + loss + bwd + optimizer).
   * rewards  — the jitted PickScore scorer (CLIP-H) on decoded-image batches
-    (BASELINE.md north-star "reward evals/sec"), measured BOTH on an empty
-    chip and with the 2.2B policy resident (the production heap), plus a
-    fused rollout->decode->score epoch measurement (VERDICT r2 weak #1).
+    (BASELINE.md north-star "reward evals/sec") with the 2.2B policy resident
+    (the production heap), plus a fused rollout->decode->score epoch
+    measurement (VERDICT r2 weak #1). The empty-chip diagnostic variant is
+    opt-in via ADV_GRPO_BENCH_EMPTY_CHIP=1 (it costs ~390s and the resident
+    number is the production-honest one — VERDICT r4 weak #4).
+  * families — small WAN (TRUE t2v_1_3b geometry) and mid-geometry Flux
+    rollout phases so the two newly-trainable families get measured MFU
+    (VERDICT r4 next #5; Flux.1-dev at 12B does not fit a 16GB v5e, so its
+    phase runs a mid geometry and says so in the key name).
 
-FLOPs come from XLA's own cost analysis of the compiled executables when
-available, else from an analytic per-matmul count of the MMDiT config (the
-two streams are counted separately — a naive 2*P*S over total params
-double-counts, since each token only traverses its own stream).
+FLOPs come from an analytic per-matmul count of each transformer config (the
+streams are counted separately — a naive 2*P*S over total params
+double-counts, since each token only traverses its own stream). XLA's
+cost_analysis counts a lax.scan body once, so it is only a diagnostic.
 
 MFU is reported against the detected chip's bf16 peak and must be < 1.0.
 
@@ -25,13 +31,22 @@ overhead (~0.4 s to pass the 4.4GB frozen tree as args + ~0.4 s to return the
 rollout's output buffers — measured by scripts/profile_rollout.py bisection)
 amortises below 2%; a colocated production host does not pay it at all.
 
-Resilience: the bench runs unattended at round end, so every phase is
-individually guarded — a phase that raises records its error under
-``"errors"`` and the remaining phases still run. The rollout and train
-phases additionally retry once on the XLA-composition attention path
-(``attention_backend="reference"``) so a Pallas/Mosaic regression degrades
-the number instead of erasing it (the backend that produced each number is
-reported under ``"attention_backend"``).
+Resilience (VERDICT r4 weak #1 — a driver timeout must not erase measured
+numbers):
+
+  * every phase is individually guarded — a phase that raises records its
+    error under ``"errors"`` and the remaining phases still run;
+  * the result dict is (re)written to ``BENCH_PARTIAL.json`` next to this
+    file after EVERY phase, so any kill preserves completed phases;
+  * phases run headline-first and each carries a wall-clock estimate; once
+    the internal budget (ADV_GRPO_BENCH_BUDGET_SEC, default 1500s — under
+    the ~30min driver timeout) cannot cover a phase's estimate the phase is
+    skipped and recorded under ``"skipped"``;
+  * a SIGTERM handler prints the current partial JSON line and exits, so
+    even a driver kill mid-phase leaves a parseable record on stdout;
+  * the rollout and train phases retry once on the XLA-composition attention
+    path (``attention_backend="reference"``) so a Pallas/Mosaic regression
+    degrades the number instead of erasing it.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
 the denominator is its modeled rate normalized per chip class: 3.5 img/s on a
@@ -39,12 +54,13 @@ the denominator is its modeled rate normalized per chip class: 3.5 img/s on a
 (e.g. 0.70 img/s on a 197-TFLOP v5e). Values > 1.0 mean this rollout runs at
 better MFU than the 40%-MFU reference model.
 
-Prints ONE JSON line.
+Prints ONE JSON line on stdout (partial snapshots go to the sidecar file).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 H100_PEAK = 990e12
@@ -57,6 +73,9 @@ CHIP_PEAKS_BF16 = {
     "v6 lite": 918e12, "v6e": 918e12,
     "v4": 275e12,
 }
+
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_PARTIAL.json")
 
 
 def detect_peak(device) -> float:
@@ -88,7 +107,8 @@ def compiled_flops(jitted, *args) -> float | None:
 
 
 def main():
-    import os
+    import signal
+    import sys
 
     from adv_grpo_tpu.cli.common import honor_platform_env
 
@@ -108,15 +128,77 @@ def main():
     from adv_grpo_tpu.train.train_state import create_generator_state
 
     # ADV_GRPO_BENCH_SMOKE=1 shrinks every model/shape to toy size so the
-    # bench's full control flow (phase guards, fallback rebuilds, JSON
-    # emission) runs on CPU in under a minute — numbers are meaningless, the
-    # plumbing is what's validated before the unattended production run.
+    # bench's full control flow (phase guards, fallback rebuilds, budget
+    # skips, partial emission, final JSON) runs on CPU in under a minute —
+    # numbers are meaningless, the plumbing is what's validated before the
+    # unattended production run.
     smoke = bool(int(os.environ.get("ADV_GRPO_BENCH_SMOKE", "0") or "0"))
 
-    errors: dict[str, str] = {}
+    T0 = time.perf_counter()
+    BUDGET = float(os.environ.get("ADV_GRPO_BENCH_BUDGET_SEC", "1500"))
 
-    def guarded(name, fn, default=None):
-        import sys
+    errors: dict[str, str] = {}
+    skipped: dict[str, str] = {}
+    # epoch_phase_sec: modeled single-chip production epoch breakdown
+    # (resident reward); reward_dino + d_step model the adversarial
+    # dino_patch preset's extra per-epoch work (d_step = 12 batches x one
+    # hinge D-step, paid on D-epochs — 9 of every 10 at d_times=10)
+    epoch_phase: dict[str, float | None] = {
+        "rollout": None, "train": None, "reward": None,
+        "reward_dino": None, "d_step": None}
+    OUT: dict = {
+        "metric": "rollout_images_per_sec_per_chip",
+        "value": None, "unit": "img/s/chip", "vs_baseline": None,
+        "epoch_phase_sec": epoch_phase,
+        "attention_backend": {"rollout": None, "train": None},
+    }
+
+    def assemble() -> dict:
+        d = dict(OUT)
+        if errors:
+            d["errors"] = errors
+        if skipped:
+            d["skipped"] = skipped
+        d["bench_elapsed_sec"] = round(time.perf_counter() - T0, 1)
+        return d
+
+    def emit_partial():
+        try:
+            with open(PARTIAL_PATH, "w") as f:
+                f.write(json.dumps(assemble()) + "\n")
+        except OSError:
+            pass
+
+    _final = {"printed": False}
+
+    def emit_final():
+        if not _final["printed"]:
+            _final["printed"] = True
+            print(json.dumps(assemble()), flush=True)
+
+    def _on_term(signum, frame):  # driver timeout backstop
+        errors["terminated"] = f"signal {signum} mid-run"
+        emit_partial()
+        emit_final()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    def remaining() -> float:
+        return BUDGET - (time.perf_counter() - T0)
+
+    def snap(**kv):
+        OUT.update(kv)
+        emit_partial()
+
+    def guarded(name, fn, default=None, est=0.0):
+        if est and remaining() < est and not smoke:
+            skipped[name] = (f"budget: {remaining():.0f}s left < "
+                             f"est {est:.0f}s")
+            print(f"[bench] phase {name} SKIPPED ({skipped[name]})",
+                  file=sys.stderr, flush=True)
+            emit_partial()
+            return default
         t0 = time.perf_counter()
         print(f"[bench] phase {name} ...", file=sys.stderr, flush=True)
         try:
@@ -129,7 +211,10 @@ def main():
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"[bench] phase {name} FAILED: {errors[name]}",
                   file=sys.stderr, flush=True)
+            emit_partial()
             return default
+
+    rnd = lambda x, n: None if x is None else round(x, n)
 
     # ── REAL trainer epoch (VERDICT r3 next #3), in a SUBPROCESS with a
     # clean device heap BEFORE this process claims the chip: a production
@@ -137,18 +222,20 @@ def main():
     # against the bench's own resident trees/executables. The script runs
     # GRPOTrainer.run() at the production shape (12x8 @512^2, resident
     # PickScore, pinned rt=2) and prints wall + the driver's phase totals.
-    trainer_epoch_wall_sec = None
-    trainer_epoch_phases = None
+    # It runs FIRST only because of the clean-heap requirement; its
+    # subprocess timeout is bounded so the headline phases always get their
+    # share of the budget.
     if not smoke and not os.environ.get("ADV_GRPO_BENCH_SKIP_TRAINER_EPOCH"):
         def run_trainer_epoch_subprocess():
             import subprocess
-            import sys as _sys
             script = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "scripts",
                 "measure_trainer_epoch.py")
-            out = subprocess.run([_sys.executable, script],
+            # leave >=600s of budget to the headline phases no matter what
+            sub_timeout = max(120.0, min(2400.0, remaining() - 600.0))
+            out = subprocess.run([sys.executable, script],
                                  capture_output=True, text=True,
-                                 timeout=2400)
+                                 timeout=sub_timeout)
             line = out.stdout.strip().splitlines()[-1]
             d = json.loads(line)
             if d.get("errors"):
@@ -156,11 +243,15 @@ def main():
             return d
 
         d = guarded("trainer_epoch", run_trainer_epoch_subprocess) or {}
-        trainer_epoch_wall_sec = d.get("trainer_epoch_wall_sec")
-        trainer_epoch_phases = d.get("trainer_epoch_phase_sec")
+        snap(trainer_epoch_wall_sec=rnd(d.get("trainer_epoch_wall_sec"), 2),
+             trainer_epoch_phase_sec=d.get("trainer_epoch_phase_sec"))
 
     dev = jax.devices()[0]
     peak = detect_peak(dev)
+    baseline = REF_IMG_PER_SEC_H100 * peak / H100_PEAK
+    snap(chip_peak_tflops=round(peak / 1e12, 1),
+         device_kind=getattr(dev, "device_kind", str(dev)),
+         baseline_img_per_sec_chip_class=round(baseline, 4))
 
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         # persistent executable cache, OPT-IN only: on the axon tunnel a
@@ -184,11 +275,7 @@ def main():
     s_img = (latent_hw // 2) ** 2
     key = jax.random.PRNGKey(0)
 
-    # ── reward throughput FIRST, on an empty chip: jitted PickScore (CLIP-H)
-    # on 512^2 image batches. Measured after the 2.2B MMDiT materialisation
-    # the same computation runs 20x slower (HBM pressure), which is not the
-    # production condition — the trainer's reward scorers run overlapped on
-    # batches while rollouts stream, not against a fragmented heap.
+    # ── PickScore scorer (CLIP-H) plumbing, shared by the reward phases ──
     from adv_grpo_tpu.rewards.scorers import PickScoreScorer
 
     if smoke:
@@ -222,33 +309,34 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K_RWD))
         return acc
 
-    def time_reward():
-        ps_params = ps_materialise()
-        imgs = jnp.full((batch, 3, imgs_hw, imgs_hw), 0.1, jnp.float32)
-        try:
-            # the first graph of a fresh session can see minutes of residual
-            # remote-compile/queue latency on the tunnel: warm twice and take
-            # the MEDIAN of 3 reps (a cold first rep once measured 11 evals/s
-            # vs 247 steady-state)
-            float(reward_k(ps_params, imgs, ids))
-            float(reward_k(ps_params, imgs + 0.005, ids))
-            rtimes = []
-            for rep in range(3):
-                t0 = time.perf_counter()
-                float(reward_k(ps_params, imgs + 0.01 * (rep + 1), ids))
-                rtimes.append(time.perf_counter() - t0)
-            return batch / (sorted(rtimes)[1] / K_RWD)
-        finally:
-            # free the scorer's device buffers before the 2.2B policy
-            # materialises — ALSO on failure, so a guarded phase error does
-            # not leave ~2GB of CLIP-H stranded in HBM for the phases after
-            # it; the scorer is RE-materialised after the policy for the
-            # resident (production-honest) reward number below
-            for leaf in jax.tree_util.tree_leaves((ps_params, imgs)):
-                leaf.delete()
+    # empty-chip reward diagnostic (must run BEFORE the policy materialises;
+    # the resident number below is the production-honest one): opt-in only —
+    # it cost 392s in r4 and starved the headline phases (VERDICT r4 weak #4)
+    if smoke or os.environ.get("ADV_GRPO_BENCH_EMPTY_CHIP"):
+        def time_reward_empty():
+            ps_params = ps_materialise()
+            imgs = jnp.full((batch, 3, imgs_hw, imgs_hw), 0.1, jnp.float32)
+            try:
+                # warm twice, median of 3 (a cold first rep once measured 11
+                # evals/s vs 247 steady-state on the tunnel)
+                float(reward_k(ps_params, imgs, ids))
+                float(reward_k(ps_params, imgs + 0.005, ids))
+                rtimes = []
+                for rep in range(3):
+                    t0 = time.perf_counter()
+                    float(reward_k(ps_params, imgs + 0.01 * (rep + 1), ids))
+                    rtimes.append(time.perf_counter() - t0)
+                return batch / (sorted(rtimes)[1] / K_RWD)
+            finally:
+                # free CLIP-H before the 2.2B policy materialises — ALSO on
+                # failure, so a guarded error does not strand ~2GB in HBM
+                for leaf in jax.tree_util.tree_leaves((ps_params, imgs)):
+                    leaf.delete()
 
-    reward_evals_per_sec = guarded("reward_empty_chip", time_reward)
+        snap(reward_evals_per_sec=rnd(
+            guarded("reward_empty_chip", time_reward_empty, est=420), 2))
 
+    # ── policy pipeline ──
     vcfg = VAEConfig.tiny() if smoke else VAEConfig.sd3()
 
     def build_pipe(attention_backend, reuse_pipe=None,
@@ -350,13 +438,14 @@ def main():
         return sorted(times)[1] / K_ROLL, sample_fn_  # median of 3
 
     attn_backend_rollout = "pallas_auto"
-    res = guarded("rollout", lambda: time_rollout(pipe))
-    if res is None:
+    res = guarded("rollout", lambda: time_rollout(pipe), est=200)
+    if res is None and "rollout" in errors:
         # Pallas path failed: degrade to the XLA composition path so the
         # headline number survives a Mosaic regression (slower, still real).
         attn_backend_rollout = "reference"
         _, pipe_ref = build_pipe("reference", reuse_pipe=pipe)
-        res = guarded("rollout_reference", lambda: time_rollout(pipe_ref))
+        res = guarded("rollout_reference", lambda: time_rollout(pipe_ref),
+                      est=200)
     dt_rollout, sample_fn = res if res is not None else (None, None)
 
     # FLOPs: analytic scan-aware count. XLA's cost_analysis counts the
@@ -367,121 +456,24 @@ def main():
         mcfg, s_img, seq_txt, int(batch * cfg_mult))
     # SD3 VAE decoder at 512^2: ~2.5 TFLOP/image (2*Cin*Cout*k^2*H*W summed)
     flops_rollout += batch * 2.5e12
-    flops_source = "analytic_scan_aware"
     xla_flops = None
     if sample_fn is not None:
         xla_flops = compiled_flops(sample_fn, lora, frozen, embeds, pooled,
                                    neg_e, neg_p, key, rt)
 
+    n_batches, n_imgs = 12, 12 * batch
     if dt_rollout is not None:
         imgs_per_sec = batch / dt_rollout
-        tflops = flops_rollout / dt_rollout / 1e12
-        mfu = flops_rollout / dt_rollout / peak
-    else:
-        imgs_per_sec = tflops = mfu = None
-
-    # ── resident reward: the SAME jitted PickScore with the 2.2B policy in
-    # HBM — the production heap condition (VERDICT r2 weak #1). The scorer
-    # tree re-materialises alongside the policy (CLIP-H bf16 ~2GB + MMDiT
-    # bf16 4.4GB + VAE fits a 16GB v5e).
-    def time_reward_resident():
-        ps_params_r = ps_materialise()
-        imgs_r = jnp.full((batch, 3, imgs_hw, imgs_hw), 0.1, jnp.float32)
-        try:
-            # re-warm on the new heap
-            float(reward_k(ps_params_r, imgs_r, ids))
-            rtimes = []
-            for rep in range(3):
-                t0 = time.perf_counter()
-                float(reward_k(ps_params_r, imgs_r + 0.01 * (rep + 1), ids))
-                rtimes.append(time.perf_counter() - t0)
-            # buffers stay alive on success — the interleaved phase reuses
-            # them, and the caller deletes both afterwards
-            return batch / (sorted(rtimes)[1] / K_RWD), ps_params_r, imgs_r
-        except BaseException:
-            for leaf in jax.tree_util.tree_leaves((ps_params_r, imgs_r)):
-                leaf.delete()
-            raise
-
-    res = guarded("reward_resident", time_reward_resident)
-    reward_evals_per_sec_resident = res[0] if res else None
-    ps_params_r = res[1] if res else None
-    imgs_r = res[2] if res else None
-
-    # ── interleaved rollout+reward epoch: rollout -> decode -> PickScore in
-    # ONE graph, policy + scorer resident. Device work serialises regardless
-    # of host threading, so this is the true per-batch cost of the trainer's
-    # "rollout then score" pipeline (the executor threads only hide host-side
-    # latency). VERDICT r2 "epoch_overlapped_sec".
-    K_EPOCH = 1 if smoke else 2
-
-    def time_interleaved():
-        @jax.jit
-        def epoch_interleaved_k(lora, frozen, ps_p, embeds, pooled, neg_e,
-                                neg_p, key, rt):
-            def body(acc, i):
-                out, images = sample_fn(lora, frozen, embeds, pooled, neg_e,
-                                        neg_p, jax.random.fold_in(key, i), rt)
-                s = ps.score(ps_p, images.astype(jnp.float32), ids)
-                acc = acc + jnp.sum(s) + jnp.sum(out.log_probs)
-                return acc, None
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K_EPOCH))
-            return acc
-
-        float(epoch_interleaved_k(lora, frozen, ps_params_r, embeds, pooled,
-                                  neg_e, neg_p, key, rt))
-        it_times = []
-        for rep in range(3):
-            t0 = time.perf_counter()
-            float(epoch_interleaved_k(lora, frozen, ps_params_r, embeds,
-                                      pooled, neg_e, neg_p,
-                                      jax.random.fold_in(key, 300 + rep), rt))
-            it_times.append(time.perf_counter() - t0)
-        return sorted(it_times)[1] / K_EPOCH
-
-    dt_batch_interleaved = None
-    if sample_fn is not None and ps_params_r is not None:
-        dt_batch_interleaved = guarded("epoch_interleaved", time_interleaved)
-    if ps_params_r is not None:
-        for leaf in jax.tree_util.tree_leaves((ps_params_r, imgs_r)):
-            leaf.delete()
-        del ps_params_r, imgs_r
-
-    # ── shared-prefix rollout (same_latent): pre-window steps at B/mini ──
-    # The window start is U{0..num_steps//2}; prefix cost is linear in rt, so
-    # the mean over rt in {2, 3} equals the cost at the true mean E[rt]=2.5
-    # (VERDICT r2 weak #3 — the old bench pinned rt=2).
-    def time_shared_prefix():
-        mini = batch  # one prompt slot per batch: the production group layout
-        sp_fn = make_shared_prefix_sample_fn(pipe, scfg, latent_hw, mini)
-
-        def sp_bench(rt_static):
-            @jax.jit
-            def sp_k(lora, frozen, embeds, pooled, neg_e, neg_p, key):
-                def body(acc, i):
-                    out, images = sp_fn(lora, frozen, embeds, pooled, neg_e,
-                                        neg_p, jax.random.fold_in(key, i),
-                                        rt_static)
-                    acc = (acc + jnp.sum(images.astype(jnp.float32))
-                           + jnp.sum(out.log_probs) + jnp.sum(out.latents))
-                    return acc, None
-                acc, _ = jax.lax.scan(body, jnp.float32(0.0),
-                                      jnp.arange(K_ROLL))
-                return acc
-
-            float(sp_k(lora, frozen, embeds, pooled, neg_e, neg_p, key))
-            ts = []
-            for rep in range(3):
-                t0 = time.perf_counter()
-                float(sp_k(lora, frozen, embeds, pooled, neg_e, neg_p,
-                           jax.random.fold_in(key, 100 + rep)))
-                ts.append(time.perf_counter() - t0)
-            return sorted(ts)[1] / K_ROLL
-
-        return 0.5 * (sp_bench(2) + sp_bench(3))  # = cost at E[rt] = 2.5
-
-    dt_sp = guarded("shared_prefix", time_shared_prefix)
-    sp_imgs_per_sec = batch / dt_sp if dt_sp else None
+        epoch_phase["rollout"] = rnd(n_batches * dt_rollout, 2)
+        snap(value=rnd(imgs_per_sec, 4),
+             vs_baseline=rnd(imgs_per_sec / baseline, 4),
+             rollout_sec_batch8=rnd(dt_rollout, 3),
+             achieved_tflops=rnd(flops_rollout / dt_rollout / 1e12, 1),
+             mfu=rnd(flops_rollout / dt_rollout / peak, 4),
+             flops_source="analytic_scan_aware",
+             xla_scan_body_tflop=rnd(None if xla_flops is None
+                                     else xla_flops / 1e12, 1))
+    OUT["attention_backend"]["rollout"] = attn_backend_rollout
 
     # ── train microstep: one minibatch x T window steps (fwd+bwd+opt) ──
     train_cfg = ml_collections.ConfigDict(dict(
@@ -553,19 +545,21 @@ def main():
                                   remat_policy=policy_t)[1])
         dt_microstep = guarded(
             f"train[{policy_t},x{splits_t},seq={int(seq_t)}]",
-            lambda p_=pipe_t, s_=splits_t, q_=seq_t: time_train(p_, s_, q_))
+            lambda p_=pipe_t, s_=splits_t, q_=seq_t: time_train(p_, s_, q_),
+            est=200)
         if dt_microstep is not None:
             train_cfg_used = {"remat_policy": policy_t,
                               "micro_splits": splits_t,
                               "cfg_sequential": seq_t}
             break
-    if dt_microstep is None:
+    if dt_microstep is None and remaining() > 200:
         # the train jvp/vjp exercises the fused-backward kernels; degrade to
         # the XLA composition path rather than dropping the number
         attn_backend_train = "reference"
         _, pipe_ref_t = build_pipe("reference", reuse_pipe=pipe)
         dt_microstep = guarded("train_reference",
-                               lambda: time_train(pipe_ref_t, 1, False))
+                               lambda: time_train(pipe_ref_t, 1, False),
+                               est=200)
         if dt_microstep is not None:
             train_cfg_used = {"remat_policy": "save_attn", "micro_splits": 1,
                               "cfg_sequential": False}
@@ -585,8 +579,89 @@ def main():
         train_mfu_model_flops = 3.0 * fwd / dt_microstep / peak
         if train_cfg_used and train_cfg_used["remat_policy"] != "save_attn":
             train_mfu = None  # 4x-fwd convention undefined off save_attn
-    else:
-        train_mfu = train_mfu_model_flops = None
+        epoch_phase["train"] = rnd(n_batches * train_T * dt_microstep, 2)
+        snap(train_microstep_sec=rnd(dt_microstep, 3),
+             train_mfu=rnd(train_mfu, 4),  # remat-inclusive (4x fwd)
+             train_mfu_model_flops=rnd(train_mfu_model_flops, 4),  # 3x fwd
+             train_config=train_cfg_used)
+    OUT["attention_backend"]["train"] = attn_backend_train
+
+    # ── resident reward: the jitted PickScore with the 2.2B policy in HBM —
+    # the production heap condition (VERDICT r2 weak #1). The scorer tree
+    # materialises alongside the policy (CLIP-H bf16 ~2GB + MMDiT bf16
+    # 4.4GB + VAE fits a 16GB v5e).
+    def time_reward_resident():
+        ps_params_r = ps_materialise()
+        imgs_r = jnp.full((batch, 3, imgs_hw, imgs_hw), 0.1, jnp.float32)
+        try:
+            # warm on this heap
+            float(reward_k(ps_params_r, imgs_r, ids))
+            float(reward_k(ps_params_r, imgs_r + 0.005, ids))
+            rtimes = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                float(reward_k(ps_params_r, imgs_r + 0.01 * (rep + 1), ids))
+                rtimes.append(time.perf_counter() - t0)
+            # buffers stay alive on success — the interleaved phase reuses
+            # them, and the caller deletes both afterwards
+            return batch / (sorted(rtimes)[1] / K_RWD), ps_params_r, imgs_r
+        except BaseException:
+            for leaf in jax.tree_util.tree_leaves((ps_params_r, imgs_r)):
+                leaf.delete()
+            raise
+
+    res = guarded("reward_resident", time_reward_resident, est=60)
+    reward_evals_per_sec_resident = res[0] if res else None
+    ps_params_r = res[1] if res else None
+    imgs_r = res[2] if res else None
+    if reward_evals_per_sec_resident:
+        epoch_phase["reward"] = rnd(n_imgs / reward_evals_per_sec_resident, 2)
+        snap(reward_evals_per_sec_resident=rnd(
+            reward_evals_per_sec_resident, 2))
+
+    # ── interleaved rollout+reward epoch: rollout -> decode -> PickScore in
+    # ONE graph, policy + scorer resident. Device work serialises regardless
+    # of host threading, so this is the true per-batch cost of the trainer's
+    # "rollout then score" pipeline (the executor threads only hide host-side
+    # latency). VERDICT r2 "epoch_overlapped_sec".
+    K_EPOCH = 1 if smoke else 2
+
+    def time_interleaved():
+        @jax.jit
+        def epoch_interleaved_k(lora, frozen, ps_p, embeds, pooled, neg_e,
+                                neg_p, key, rt):
+            def body(acc, i):
+                out, images = sample_fn(lora, frozen, embeds, pooled, neg_e,
+                                        neg_p, jax.random.fold_in(key, i), rt)
+                s = ps.score(ps_p, images.astype(jnp.float32), ids)
+                acc = acc + jnp.sum(s) + jnp.sum(out.log_probs)
+                return acc, None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K_EPOCH))
+            return acc
+
+        float(epoch_interleaved_k(lora, frozen, ps_params_r, embeds, pooled,
+                                  neg_e, neg_p, key, rt))
+        it_times = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            float(epoch_interleaved_k(lora, frozen, ps_params_r, embeds,
+                                      pooled, neg_e, neg_p,
+                                      jax.random.fold_in(key, 300 + rep), rt))
+            it_times.append(time.perf_counter() - t0)
+        return sorted(it_times)[1] / K_EPOCH
+
+    dt_batch_interleaved = None
+    if sample_fn is not None and ps_params_r is not None:
+        dt_batch_interleaved = guarded("epoch_interleaved", time_interleaved,
+                                       est=130)
+    if ps_params_r is not None:
+        for leaf in jax.tree_util.tree_leaves((ps_params_r, imgs_r)):
+            leaf.delete()
+        del ps_params_r, imgs_r
+    if dt_batch_interleaved:
+        # measured fused rollout+PickScore batch cost x 12 batches —
+        # the honest device-serialised epoch sampling+reward time
+        snap(epoch_interleaved_sec=rnd(n_batches * dt_batch_interleaved, 2))
 
     # ── cotrain phases (VERDICT r3 weak #4): the headline adversarial
     # presets also pay a DINO-patch reward per image and a D-step per
@@ -673,8 +748,13 @@ def main():
             for leaf in jax.tree_util.tree_leaves((bb, hd, imgs_d)):
                 leaf.delete()
 
-    res = guarded("dino_cotrain", time_dino_reward)
+    res = guarded("dino_cotrain", time_dino_reward, est=110)
     dino_evals_per_sec, dt_d_step_dino = res if res else (None, None)
+    if dino_evals_per_sec:
+        epoch_phase["reward_dino"] = rnd(n_imgs / dino_evals_per_sec, 2)
+        epoch_phase["d_step"] = rnd(n_batches * dt_d_step_dino, 2)
+        snap(reward_dino_evals_per_sec=rnd(dino_evals_per_sec, 2),
+             d_step_dino_sec=rnd(dt_d_step_dino, 3))
 
     def time_pickscore_d_step():
         """One adversarial PickScore D-step (pairwise criterion fwd+bwd
@@ -714,83 +794,232 @@ def main():
             for leaf in jax.tree_util.tree_leaves((ps_p, real, fake)):
                 leaf.delete()
 
-    dt_d_step_ps = guarded("pickscore_d_step", time_pickscore_d_step)
+    dt_d_step_ps = guarded("pickscore_d_step", time_pickscore_d_step, est=170)
+    if dt_d_step_ps:
+        snap(d_step_pickscore_sec=rnd(dt_d_step_ps, 3))
 
-    baseline = REF_IMG_PER_SEC_H100 * peak / H100_PEAK
-    # modeled production epoch on ONE chip (BASELINE.md batch math): 12
-    # sampling batches of 8 + 12 minibatches x 2 window microsteps + 96
-    # generated images rewarded (epoch-phase breakdown, VERDICT r1 weak #1).
-    # Reward uses the RESIDENT rate; epoch_interleaved is the measured
-    # rollout+reward fused cost (not a sum of best cases).
-    n_batches, n_imgs = 12, 12 * batch
-    rnd = lambda x, n: None if x is None else round(x, n)
-    epoch_rollout = rnd(n_batches * dt_rollout if dt_rollout else None, 2)
-    epoch_train = rnd(n_batches * train_T * dt_microstep
-                      if dt_microstep else None, 2)
-    epoch_reward = rnd(n_imgs / reward_evals_per_sec_resident
-                       if reward_evals_per_sec_resident else None, 2)
-    epoch_interleaved = rnd(n_batches * dt_batch_interleaved
-                            if dt_batch_interleaved else None, 2)
-    # cotrain preset extras: DINO-patch reward on every generated image +
-    # (on D-epochs) one D-step per sampling batch (driver.d_phase)
-    epoch_reward_dino = rnd(n_imgs / dino_evals_per_sec
-                            if dino_evals_per_sec else None, 2)
-    epoch_d_step = rnd(n_batches * dt_d_step_dino
-                       if dt_d_step_dino else None, 2)
-    out = {
-        "metric": "rollout_images_per_sec_per_chip",
-        "value": rnd(imgs_per_sec, 4),
-        "unit": "img/s/chip",
-        "vs_baseline": rnd(imgs_per_sec / baseline
-                           if imgs_per_sec else None, 4),
-        "baseline_img_per_sec_chip_class": round(baseline, 4),
-        "rollout_sec_batch8": rnd(dt_rollout, 3),
-        "achieved_tflops": rnd(tflops, 1),
-        "mfu": rnd(mfu, 4),
-        "flops_source": flops_source,
-        "xla_scan_body_tflop": rnd(None if xla_flops is None
-                                   else xla_flops / 1e12, 1),
-        "chip_peak_tflops": round(peak / 1e12, 1),
-        "device_kind": getattr(dev, "device_kind", str(dev)),
-        "train_microstep_sec": rnd(dt_microstep, 3),
-        "train_mfu": rnd(train_mfu, 4),  # remat-inclusive (4x fwd)
-        "train_mfu_model_flops": rnd(train_mfu_model_flops, 4),  # 3x fwd
-        # measured-best (remat_policy, micro_splits, cfg_sequential) combo
-        # that produced the train numbers (scripts/profile_train_remat.py)
-        "train_config": train_cfg_used,
-        "reward_evals_per_sec": rnd(reward_evals_per_sec, 2),  # empty chip
-        "reward_evals_per_sec_resident": rnd(reward_evals_per_sec_resident, 2),
+    # ── WAN family rollout at the TRUE t2v_1_3b geometry (VERDICT r4 next
+    # #5): full stochastic video rollout + 3D-VAE decode through the same
+    # make_wan_sample_fn the trainer compiles. 9-frame 256^2 video (latent
+    # 3x32x32 -> 768 tokens), batch 2 — small on purpose; MFU is the metric.
+    def time_wan_rollout():
+        from adv_grpo_tpu.models.wan import WanConfig, WanTransformer
+        from adv_grpo_tpu.models.wan_vae import WanVAEConfig, WanVideoVAE
+        from adv_grpo_tpu.train.grpo_trainer import make_wan_sample_fn
+        from adv_grpo_tpu.train.wan_pipeline import WanPipeline
+        from adv_grpo_tpu.utils.flops import wan_forward_flops
+
+        jax.clear_caches()  # free SD3 executables' pinned buffers
+        if smoke:
+            wcfg = WanConfig.tiny(lora_rank=4, lora_alpha=8.0)
+            wvcfg = WanVAEConfig.tiny(
+                z_dim=wcfg.in_channels,
+                latents_mean=(0.0,) * wcfg.in_channels,
+                latents_std=(1.0,) * wcfg.in_channels)
+            w_hw, w_frames, w_txt, w_steps, w_b = 4, 2, 6, 2, 2
+        else:
+            wcfg = WanConfig.t2v_1_3b(lora_rank=32, lora_alpha=64.0)
+            wvcfg = WanVAEConfig.wan()
+            w_hw, w_frames, w_txt, w_steps, w_b = 32, 3, 512, 10, 2
+
+        model, wvae = WanTransformer(wcfg), WanVideoVAE(wvcfg)
+        lat = jnp.zeros((1, wcfg.in_channels, w_frames, w_hw, w_hw))
+        txt = jnp.zeros((1, w_txt, wcfg.text_dim))
+        t_shapes = jax.eval_shape(model.init, key, lat, jnp.ones((1,)), txt)
+        frames = 1 + (w_frames - 1) * wvcfg.temporal_factor
+        vid_hw = w_hw * wvcfg.spatial_factor
+        v_shapes = jax.eval_shape(
+            wvae.init, key, jnp.zeros((1, 3, frames, vid_hw, vid_hw)))
+
+        @jax.jit
+        def materialise_wan():
+            fill = lambda s, d: (jnp.full(s.shape, 0.01, d)
+                                 if s.dtype == jnp.float32
+                                 else jnp.zeros(s.shape, s.dtype))
+            return (jax.tree_util.tree_map(
+                        lambda s: fill(s, jnp.bfloat16), t_shapes),
+                    jax.tree_util.tree_map(
+                        lambda s: fill(s, jnp.float32), v_shapes))
+
+        tvars, vvars = materialise_wan()
+        wpipe = WanPipeline(wcfg, wvcfg, model, wvae, tvars, vvars,
+                            text_seq_len=w_txt, latent_frames=w_frames)
+        w_scfg = SamplerConfig(num_steps=w_steps, train_num_steps=train_T,
+                               guidance_scale=1.0, noise_level=0.8)
+        w_lora = lora_params(tvars["params"])
+        w_emb = jnp.full((w_b, w_txt, wcfg.text_dim), 0.01, jnp.bfloat16)
+        w_rt = jnp.zeros((w_b,), jnp.int32)
+        w_fn = make_wan_sample_fn(wpipe, w_scfg, w_hw)
+        K_W = 1 if smoke else 2
+
+        @jax.jit
+        def wan_k(lora_, tv, emb, k, rt_):
+            def body(acc, i):
+                out, video = w_fn(lora_, tv, emb, None, None, None,
+                                  jax.random.fold_in(k, i), rt_)
+                return acc + jnp.sum(video.astype(jnp.float32)) + jnp.sum(
+                    out.log_probs), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K_W))
+            return acc
+
+        try:
+            float(wan_k(w_lora, tvars, w_emb, key, w_rt))
+            ts = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                float(wan_k(w_lora, tvars, w_emb,
+                            jax.random.fold_in(key, rep + 1), w_rt))
+                ts.append(time.perf_counter() - t0)
+            dt = sorted(ts)[1] / K_W
+            s_vid = (w_frames // wcfg.patch_size[0]
+                     * (w_hw // wcfg.patch_size[1])
+                     * (w_hw // wcfg.patch_size[2]))
+            fl = w_steps * wan_forward_flops(wcfg, s_vid, w_txt, w_b)
+            return dt, w_b / dt, fl / dt / peak
+        finally:
+            for leaf in jax.tree_util.tree_leaves((tvars, vvars)):
+                leaf.delete()
+
+    res = guarded("wan_rollout", time_wan_rollout, est=240)
+    if res:
+        snap(wan_rollout_sec_batch2=rnd(res[0], 3),
+             wan_videos_per_sec=rnd(res[1], 4), wan_mfu=rnd(res[2], 4))
+
+    # ── Flux family rollout, MID geometry (hidden 1536, 8 double + 16
+    # single; Flux.1-dev's 12B bf16 = 24GB does not fit a 16GB v5e) —
+    # measures the packed-token full-SDE path the flux trainer compiles.
+    def time_flux_rollout():
+        from adv_grpo_tpu.models.flux import (
+            FluxConfig, FluxTransformer, make_latent_ids)
+        from adv_grpo_tpu.train.flux_pipeline import FluxPipeline
+        from adv_grpo_tpu.train.grpo_trainer import make_flux_sample_fn
+        from adv_grpo_tpu.utils.flops import flux_forward_flops
+
+        jax.clear_caches()
+        if smoke:
+            fcfg = FluxConfig.tiny(lora_rank=4, lora_alpha=8.0)
+            fvcfg = VAEConfig.tiny(latent_channels=fcfg.in_channels // 4)
+            f_hw, f_txt, f_steps, f_b = 8, 6, 2, 2
+        else:
+            fcfg = FluxConfig.dev(num_double_layers=8, num_single_layers=16,
+                                  num_attention_heads=12, lora_rank=32,
+                                  lora_alpha=64.0)
+            fvcfg = VAEConfig.sd3()
+            f_hw, f_txt, f_steps, f_b = 64, 512, 10, 4
+
+        from adv_grpo_tpu.models.vae import AutoencoderKL as _VAE
+        import numpy as np
+        model, fvae = FluxTransformer(fcfg), _VAE(fvcfg)
+        gh = gw = f_hw // 2
+        lat = jnp.zeros((1, gh * gw, fcfg.in_channels))
+        ctx = jnp.zeros((1, f_txt, fcfg.joint_attention_dim))
+        pld = jnp.zeros((1, fcfg.pooled_projection_dim))
+        img_ids = make_latent_ids(gh, gw)
+        txt_ids = np.zeros((f_txt, 3), np.int32)
+        t_shapes = jax.eval_shape(
+            lambda k, a, t, c_, p: model.init(k, a, t, c_, p, img_ids,
+                                              txt_ids),
+            key, lat, jnp.zeros((1,)), ctx, pld)
+        img_hw = f_hw * fvcfg.downscale
+        v_shapes = jax.eval_shape(fvae.init, key,
+                                  jnp.zeros((1, 3, img_hw, img_hw)))
+
+        @jax.jit
+        def materialise_flux():
+            fill = lambda s, d: (jnp.full(s.shape, 0.01, d)
+                                 if s.dtype == jnp.float32
+                                 else jnp.zeros(s.shape, s.dtype))
+            return (jax.tree_util.tree_map(
+                        lambda s: fill(s, jnp.bfloat16), t_shapes),
+                    jax.tree_util.tree_map(
+                        lambda s: fill(s, jnp.float32), v_shapes))
+
+        tvars, vvars = materialise_flux()
+        fpipe = FluxPipeline(fcfg, fvcfg, model, fvae, tvars, vvars,
+                             text_seq_len=f_txt)
+        f_scfg = SamplerConfig(num_steps=f_steps, train_num_steps=train_T,
+                               guidance_scale=1.0, noise_level=0.8)
+        f_lora = lora_params(tvars["params"])
+        f_emb = jnp.full((f_b, f_txt, fcfg.joint_attention_dim), 0.01,
+                         jnp.bfloat16)
+        f_pld = jnp.full((f_b, fcfg.pooled_projection_dim), 0.01,
+                         jnp.bfloat16)
+        f_rt = jnp.zeros((f_b,), jnp.int32)
+        f_fn = make_flux_sample_fn(fpipe, f_scfg, f_hw)
+        K_F = 1 if smoke else 2
+
+        @jax.jit
+        def flux_k(lora_, tv, emb, pld_, k, rt_):
+            def body(acc, i):
+                out, images = f_fn(lora_, tv, emb, pld_, None, None,
+                                   jax.random.fold_in(k, i), rt_)
+                return acc + jnp.sum(images.astype(jnp.float32)) + jnp.sum(
+                    out.log_probs), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K_F))
+            return acc
+
+        try:
+            float(flux_k(f_lora, tvars, f_emb, f_pld, key, f_rt))
+            ts = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                float(flux_k(f_lora, tvars, f_emb, f_pld,
+                             jax.random.fold_in(key, rep + 1), f_rt))
+                ts.append(time.perf_counter() - t0)
+            dt = sorted(ts)[1] / K_F
+            fl = f_steps * flux_forward_flops(fcfg, gh * gw, f_txt, f_b)
+            return dt, f_b / dt, fl / dt / peak
+        finally:
+            for leaf in jax.tree_util.tree_leaves((tvars, vvars)):
+                leaf.delete()
+
+    res = guarded("flux_rollout_midgeom", time_flux_rollout, est=240)
+    if res:
+        snap(flux_midgeom_rollout_sec_batch4=rnd(res[0], 3),
+             flux_midgeom_images_per_sec=rnd(res[1], 4),
+             flux_midgeom_mfu=rnd(res[2], 4))
+
+    # ── shared-prefix rollout (same_latent): pre-window steps at B/mini ──
+    # The window start is U{0..num_steps//2}; prefix cost is linear in rt, so
+    # the mean over rt in {2, 3} equals the cost at the true mean E[rt]=2.5
+    # (VERDICT r2 weak #3 — the old bench pinned rt=2).
+    def time_shared_prefix():
+        mini = batch  # one prompt slot per batch: the production group layout
+        sp_fn = make_shared_prefix_sample_fn(pipe, scfg, latent_hw, mini)
+
+        def sp_bench(rt_static):
+            @jax.jit
+            def sp_k(lora, frozen, embeds, pooled, neg_e, neg_p, key):
+                def body(acc, i):
+                    out, images = sp_fn(lora, frozen, embeds, pooled, neg_e,
+                                        neg_p, jax.random.fold_in(key, i),
+                                        rt_static)
+                    acc = (acc + jnp.sum(images.astype(jnp.float32))
+                           + jnp.sum(out.log_probs) + jnp.sum(out.latents))
+                    return acc, None
+                acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                      jnp.arange(K_ROLL))
+                return acc
+
+            float(sp_k(lora, frozen, embeds, pooled, neg_e, neg_p, key))
+            ts = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                float(sp_k(lora, frozen, embeds, pooled, neg_e, neg_p,
+                           jax.random.fold_in(key, 100 + rep)))
+                ts.append(time.perf_counter() - t0)
+            return sorted(ts)[1] / K_ROLL
+
+        return 0.5 * (sp_bench(2) + sp_bench(3))  # = cost at E[rt] = 2.5
+
+    dt_sp = guarded("shared_prefix", time_shared_prefix, est=230)
+    if dt_sp:
         # same_latent group-shared-prefix rollout at the TRUE mean window
         # start (cost linear in rt: mean of rt=2,3 == cost at E[rt]=2.5)
-        "rollout_shared_prefix_img_s": rnd(sp_imgs_per_sec, 4),
-        # measured fused rollout+PickScore batch cost x 12 batches —
-        # the honest device-serialised epoch sampling+reward time
-        "epoch_interleaved_sec": epoch_interleaved,
-        # cotrain-preset phases (VERDICT r3 weak #4): resident DINO-patch
-        # reward rate and measured per-step D costs for both D kinds
-        "reward_dino_evals_per_sec": rnd(dino_evals_per_sec, 2),
-        "d_step_dino_sec": rnd(dt_d_step_dino, 3),
-        "d_step_pickscore_sec": rnd(dt_d_step_ps, 3),
-        # modeled single-chip production epoch breakdown (resident reward);
-        # reward_dino + d_step model the adversarial dino_patch preset's
-        # extra per-epoch work (d_step = 12 batches x one hinge D-step,
-        # paid on D-epochs — 9 of every 10 at d_times=10)
-        "epoch_phase_sec": {"rollout": epoch_rollout,
-                            "train": epoch_train,
-                            "reward": epoch_reward,
-                            "reward_dino": epoch_reward_dino,
-                            "d_step": epoch_d_step},
-        # MEASURED steady-state GRPOTrainer.run() epoch at the production
-        # shape (12x8, resident PickScore reward, pinned rt=2) + the
-        # driver's own per-phase wall totals for that epoch
-        "trainer_epoch_wall_sec": rnd(trainer_epoch_wall_sec, 2),
-        "trainer_epoch_phase_sec": trainer_epoch_phases,
-        "attention_backend": {"rollout": attn_backend_rollout,
-                              "train": attn_backend_train},
-    }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        snap(rollout_shared_prefix_img_s=rnd(batch / dt_sp, 4))
+
+    emit_partial()
+    emit_final()
 
 
 if __name__ == "__main__":

@@ -35,9 +35,15 @@ def test_bench_smoke_emits_contract_json():
     payload = json.loads(lines[0])
     for key in ("metric", "value", "unit", "vs_baseline", "mfu",
                 "train_microstep_sec", "reward_evals_per_sec_resident",
-                "rollout_shared_prefix_img_s", "epoch_interleaved_sec"):
+                "rollout_shared_prefix_img_s", "epoch_interleaved_sec",
+                "wan_mfu", "flux_midgeom_mfu"):
         assert key in payload, key
     assert payload["metric"] == "rollout_images_per_sec_per_chip"
     assert payload["value"] and payload["value"] > 0
     # every phase must have succeeded on the smoke path
     assert "errors" not in payload, payload.get("errors")
+    # incremental emission (VERDICT r4 weak #1): the partial sidecar must
+    # exist and already contain the completed phases' values
+    partial = json.loads((REPO / "BENCH_PARTIAL.json").read_text())
+    assert partial["value"] == payload["value"]
+    assert "bench_elapsed_sec" in partial
