@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import functools
 import os
+import zlib
 from typing import List, Optional
 
 import numpy as np
@@ -244,7 +245,9 @@ def make_hash_text_encoder(seq_len: int, embed_dim: int, pooled_dim: int):
 
     @functools.lru_cache(maxsize=4096)
     def _one(prompt: str):
-        rng = np.random.default_rng(abs(hash(prompt)) % (2**32))
+        # crc32, NOT hash(): hash() is PYTHONHASHSEED-randomised per process,
+        # which silently made smoke/test runs irreproducible across processes
+        rng = np.random.default_rng(zlib.crc32(prompt.encode()))
         return (rng.normal(0, 0.2, (seq_len, embed_dim)).astype(np.float32),
                 rng.normal(0, 0.2, (pooled_dim,)).astype(np.float32))
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import zlib
 
 import numpy as np
 
@@ -116,8 +117,10 @@ def main(argv=None):
 
         def tokenize(prompts):
             # deterministic hash ids (no tokenizer on disk): prompts still
-            # separate in embedding space, values are not PickScore-parity
-            rng = [abs(hash(p)) for p in prompts]
+            # separate in embedding space, values are not PickScore-parity.
+            # crc32, NOT hash() — hash() is PYTHONHASHSEED-randomised per
+            # process and would make offline finetunes irreproducible
+            rng = [zlib.crc32(p.encode()) for p in prompts]
             return np.stack([
                 np.asarray([(h + i * 2654435761) % 1000 % max(
                     scorer.clip.text_cfg.vocab_size - 2, 2) + 1
