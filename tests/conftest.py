@@ -16,8 +16,62 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert all(d.platform == "cpu" for d in jax.devices()), (
     "tests must run on the virtual CPU mesh, got: " + str(jax.devices()))
 assert len(jax.devices()) == 8, jax.devices()
+
+
+# ---------------------------------------------------------------------------
+# Fast-lane curation (VERDICT r4 weak #2): the default dev lane is
+# `pytest -m "not slow"` and must finish <10 min on a 1-core box. Whole-file
+# heavyweights carry `pytestmark = pytest.mark.slow` in their own module;
+# individual long-tail tests (>~20 s measured via `--durations=0` on this box,
+# dominated by XLA CPU compiles of pjit train steps) are centrally marked here
+# so the tier policy lives in one reviewable place. Every entry still runs in
+# the full lane (`pytest tests/`).
+# Matching is by substring of the node id, so a class name covers the class.
+_SLOW_NODE_PARTS = [
+    # embed-store end-to-end (516 s combined: full precompute CLI + trainer)
+    "test_embed_store.py::TestEndToEnd",
+    # trainer e2e long tail (each spins extra trainers => extra pjit compiles)
+    "test_trainer_e2e.py::TestTrainerE2E::test_micro_splits_gradient_equivalence",
+    "test_trainer_e2e.py::TestTrainerE2E::test_cfg_sequential_gradient_equivalence",
+    "test_trainer_e2e.py::TestTrainerE2E::test_resume_continues_from_step",
+    "test_trainer_e2e.py::TestTrainerE2E::test_warm_start_lora",
+    "test_trainer_e2e.py::TestTrainerE2E::test_checkpoint_roundtrip",
+    "test_trainer_e2e.py::TestTrainerE2E::test_pickscore_adaptive_gate",
+    "test_trainer_e2e.py::TestTrainerE2E::test_metrics_written",
+    "test_trainer_e2e.py::TestTrainerE2E::test_dino_periodic_gate",
+    "test_trainer_e2e.py::TestSharding::test_same_latent_shared_prefix_epoch",
+    "test_trainer_e2e.py::TestAlternativeAlgorithms::test_one_epoch_updates_policy",
+    "test_trainer_e2e.py::TestInnerEpochPermutation",
+    # model-level compile heavies
+    "test_models.py::TestMMDiT::test_remat_policies_preserve_values_and_grads",
+    "test_models.py::TestVAE::test_roundtrip_shapes",
+    "test_models.py::TestVAE::test_encode_deterministic_vs_sampled",
+    # adversarial / reward long tail
+    "test_rewards_adversarial.py::TestDinoMultiDStep::test_trainer_gate_drives_multi",
+    "test_convert.py::TestCLIPTextParity::test_clip_text_matches_hf",
+    "test_misc.py::TestGlobalAdvantageBranch",
+    "test_misc.py::TestFlopsModel::test_trainer_logs_rollout_tflops",
+    "test_misc.py::TestInferImageToImage::test_cli_distribution_transfer",
+    # rollout long tail (shared-prefix replay compiles a second sampler)
+    "test_rollout.py::TestSharedPrefixSampler",
+    "test_rollout.py::TestSameLatent::test_group_shares_initial_latent",
+    # WAN video VAE (3D conv chains are slow to compile on CPU)
+    "test_flux_wan.py::TestWanVideoVAE",
+    # whole-file e2e heavies
+    "test_eval_cli.py",
+    "test_wan_trainer.py",
+    "test_flux_trainer.py::TestFluxTrainer::test_checkpoint_roundtrip",
+    "test_flux_trainer.py::TestFluxTrainer::test_window_replay_identity",
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(part in item.nodeid for part in _SLOW_NODE_PARTS):
+            item.add_marker(pytest.mark.slow)

@@ -4,6 +4,8 @@ Flux family end-to-end on the 8-device mesh — full-SDE window rollout
 LoRA policy update. The reference never shipped a Flux trainer; this closes
 the one seam its Flow-GRPO lineage leaves open."""
 
+import zlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,7 +37,8 @@ class _ToyDataset:
 
 def brightness_reward(images, prompts, metadata=None, ref_images=None):
     scores = np.asarray(jnp.mean(images.astype(jnp.float32), axis=(1, 2, 3)))
-    noise = np.array([abs(hash(p)) % 7 / 70.0 for p in prompts])
+    noise = np.array([zlib.crc32(p.encode()) % 7 / 70.0
+                      for p in prompts])  # crc32: process-stable
     avg = scores + noise
     return {"brightness": avg, "avg": avg}, {}
 

@@ -1,0 +1,187 @@
+"""Learning-curve regression (VERDICT r4 weak #3): fixed-seed tiny-pipeline
+GRPO training must actually INCREASE the toy brightness reward — the
+rising-reward premise of the whole method (reference epoch loop,
+train_sd3_fast_pickscore.py:960-999). A sign/slicing error in the advantage
+path that still moves parameters passes every structural test; it cannot pass
+this one.
+
+Noise isolation: the production driver folds the epoch index into the sample
+key and rotates prompts/window starts per step, so at toy scale the epoch-mean
+reward is dominated by latent-draw luck, not learning (measured: a 10x lr
+sweep moved the curve by <0.003 while epoch-to-epoch wander was ±0.015).
+Here every epoch replays the SAME noise, prompts, and window position
+(``pin_epoch_noise`` + a uniform-prompt dataset + ``random_timestep``), so
+epoch N's reward differs from epoch 1 ONLY through the parameter updates —
+the curve is a pure optimization-direction readout.
+
+Guards per family (SD3 + Flux):
+  * direction — the post-transient slope (last-2-epoch mean vs epochs 2-3,
+    see ``direction_gap``) beats a margin;
+  * control — NEGATED advantages must not rise (margin is discriminative);
+  * drift — the curve matches a stored golden (tests/golden/*.json) within
+    tolerance. Delete the golden to regenerate after an INTENTIONAL numerics
+    change (the test then writes it and fails once, so regeneration is always
+    a visible, reviewed event).
+"""
+
+import json
+import pathlib
+
+import jax
+import numpy as np
+import pytest
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+
+EPOCHS = 8
+# lr chosen by scripts/probe_learning_curve.py (8-epoch pinned runs, crc32
+# text hashing so curves are process-stable): @1e-2 flux rises +0.016 while
+# its negated control falls -0.016; sd3 climbs +0.0033 post-transient while
+# negated is flat (-0.0005). 5e-3 is flat for sd3 (+0.0009); 2e-2 overshoots
+# for flux (falls back after epoch 5) and is non-monotone for sd3.
+LR = 1e-2
+
+
+class CurveLogger:
+    def __init__(self):
+        self.metrics = []
+
+    def log(self, metrics, step=0):
+        self.metrics.append(dict(metrics))
+
+    def log_image_grid(self, *a, **k):
+        pass
+
+    def curve(self):
+        return [m["reward_avg"] for m in self.metrics if "reward_avg" in m]
+
+
+class _UniformDataset:
+    """Same prompt in every slot: constant text conditioning + constant
+    prompt-hash reward offset, so the pinned-noise curve has no prompt
+    rotation term."""
+
+    def __init__(self, n=16):
+        self.prompts = ["a bright image"] * n
+
+    def __len__(self):
+        return len(self.prompts)
+
+    def __getitem__(self, i):
+        return {"prompt": self.prompts[i], "metadata": {}}
+
+
+def pin_epoch_noise(trainer, seed=1234):
+    """Make every epoch draw the same rollout noise: replace the driver's
+    fold_in(seed, epoch*num_batches+i) key with fold_in(seed, i)."""
+    orig = trainer.sample_fn
+    nb, count = int(trainer.num_batches), {"i": 0}
+
+    def wrapped(lora, frozen, e, p, ne, np_, key, rt):
+        k = jax.random.fold_in(jax.random.PRNGKey(seed), count["i"] % nb)
+        count["i"] += 1
+        return orig(lora, frozen, e, p, ne, np_, k, rt)
+
+    trainer.sample_fn = wrapped
+
+
+def run_family(family: str, lr: float | None = None, epochs: int = EPOCHS,
+               negate: bool = False):
+    """Fixed-seed pinned-noise GRPO run; returns the per-epoch reward curve.
+    Shared by the committed tests and scripts/probe_learning_curve.py."""
+    lr = LR if lr is None else lr
+    if family == "sd3":
+        import tests.test_trainer_e2e as mod
+        from adv_grpo_tpu.models.mmdit import MMDiTConfig
+        from adv_grpo_tpu.models.vae import VAEConfig
+        from adv_grpo_tpu.train.pipeline import SD3Pipeline
+
+        mcfg = MMDiTConfig.tiny(num_layers=2, dual_attention_layers=(0,),
+                                lora_rank=4, lora_alpha=8.0)
+        vcfg = VAEConfig.tiny(latent_channels=16)
+        pipe = SD3Pipeline.random_init(jax.random.PRNGKey(0), mcfg, vcfg,
+                                       latent_hw=8, text_seq_len=6)
+        cfg = mod.tiny_config()
+    elif family == "flux":
+        import tests.test_flux_trainer as mod
+        from adv_grpo_tpu.models.flux import FluxConfig
+        from adv_grpo_tpu.models.vae import VAEConfig
+        from adv_grpo_tpu.train.flux_pipeline import FluxPipeline
+
+        fcfg = FluxConfig.tiny(lora_rank=4, lora_alpha=8.0)
+        vcfg = VAEConfig.tiny(latent_channels=fcfg.in_channels // 4)
+        pipe = FluxPipeline.random_init(jax.random.PRNGKey(0), fcfg, vcfg,
+                                        latent_hw=8, text_seq_len=6)
+        cfg = mod.flux_test_config()
+    else:  # pragma: no cover
+        raise ValueError(family)
+    cfg.seed = 0
+    cfg.train.learning_rate = lr
+    cfg.sample.random_timestep = 1  # static window start every epoch
+    logger = CurveLogger()
+    trainer = mod.make_trainer(pipe, cfg, logger=logger)
+    trainer.dataset = _UniformDataset()
+    pin_epoch_noise(trainer)
+    if negate:
+        orig = trainer.train_phase
+        trainer.train_phase = lambda samples, adv: orig(samples, -adv)
+    trainer.run(max_epochs=epochs)
+    curve = [float(c) for c in logger.curve()]
+    assert len(curve) == epochs, curve
+    return curve
+
+
+def direction_gap(curve):
+    """Signed learning signal: mean of the last 2 epochs minus the mean of
+    epochs 2-3, on the curve relative to epoch 1.
+
+    Epoch 1 is measured BEFORE any update (a pure pipeline-init constant,
+    subtracted out), and the epoch 1->2 jump is the first-update transient,
+    whose sign is family-dependent at toy scale (measured: sd3 dips -0.005
+    on the first positive-advantage update, then climbs monotonically; its
+    negated control jumps +0.006, then goes flat). The post-transient slope
+    — epochs 2-3 vs the last 2 — is the signed, advantage-direction-faithful
+    signal for both families."""
+    rel = [c - curve[0] for c in curve]
+    return float(np.mean(rel[-2:])) - float(np.mean(rel[1:3])), rel
+
+
+def check_curve(curve, name, margin=0.002, tol=0.002):
+    """Direction + golden-drift assertions shared by the families. The toy
+    text encoder and reward hashes are crc32, so the whole pinned-noise curve
+    is process-stable; the golden is stored relative to epoch 1 to insulate
+    it from init-only drift."""
+    gap, rel = direction_gap(curve)
+    assert gap > margin, (
+        f"{name}: reward did not rise post-transient: gap {gap:.5f} <= "
+        f"margin {margin}; rel curve={rel}")
+
+    golden_path = GOLDEN_DIR / f"learning_curve_{name}.json"
+    if not golden_path.exists():
+        GOLDEN_DIR.mkdir(exist_ok=True)
+        golden_path.write_text(json.dumps(rel))
+        pytest.fail(f"{name}: golden curve regenerated at {golden_path} — "
+                    "commit it and re-run (regeneration is intentional-only)")
+    golden = json.loads(golden_path.read_text())
+    np.testing.assert_allclose(rel, golden, atol=tol, err_msg=(
+        f"{name}: curve drifted from golden (delete {golden_path} to "
+        "regenerate after an intentional numerics change)"))
+
+
+class TestLearningCurve:
+    def test_sd3_brightness_reward_rises(self):
+        check_curve(run_family("sd3"), "sd3")
+
+    @pytest.mark.slow
+    def test_flux_brightness_reward_rises(self):
+        check_curve(run_family("flux"), "flux")
+
+    def test_sd3_sign_error_does_not_rise(self):
+        """Adversarial control: NEGATED advantages (the exact bug class this
+        test exists for) must fail the direction check — proves the margin is
+        discriminative, not vacuous. (Measured gaps @1e-2: sd3 positive
+        +0.0033, negated -0.0005; flux positive +0.016, negated -0.016.)"""
+        gap, rel = direction_gap(run_family("sd3", negate=True))
+        assert gap <= 0.002, (
+            "negated advantages still 'improved' the reward — the margin "
+            f"check is vacuous: gap {gap:.5f}, rel curve={rel}")

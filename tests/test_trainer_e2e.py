@@ -3,6 +3,7 @@ D-gates, state stepping, checkpoint round-trip (SURVEY.md §4 gather->advantage
 flow + §3.1 control-flow parity)."""
 
 import os
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +33,8 @@ class _ToyDataset:
 def brightness_reward(images, prompts, metadata=None, ref_images=None,
                       only_strict=True):
     scores = np.asarray(jnp.mean(images.astype(jnp.float32), axis=(1, 2, 3)))
-    noise = np.array([abs(hash(p)) % 7 / 70.0 for p in prompts])
+    noise = np.array([zlib.crc32(p.encode()) % 7 / 70.0
+                      for p in prompts])  # crc32: process-stable
     avg = scores + noise
     return {"brightness": avg, "avg": avg}, {}
 
@@ -124,9 +126,11 @@ class TestTrainerE2E:
         assert int(t2.state.micro_step) == 2 * int(t1.state.micro_step)
         assert int(t2.state.global_step) == int(t1.state.global_step)
         for k in t1.state.lora:
+            # atol 2e-5: LoRA deltas after 1 epoch are ~5e-4; split-accumulate
+            # reduction order shifts a handful of elements by up to ~6e-6
             np.testing.assert_allclose(
                 np.asarray(t2.state.lora[k]), np.asarray(t1.state.lora[k]),
-                rtol=2e-4, atol=2e-6, err_msg=k)
+                rtol=2e-4, atol=2e-5, err_msg=k)
         # epoch-mean loss over equal-sized sub-batches equals the unsplit mean
         # (atol: the GRPO loss at clip_range 1e-5 is ~1e-6 — pure fp32
         # accumulation noise territory)
@@ -146,9 +150,10 @@ class TestTrainerE2E:
         t2.run(max_epochs=1)
         assert int(t2.state.global_step) == int(t1.state.global_step)
         for k in t1.state.lora:
+            # atol matches the micro_splits test above (reduction-order noise)
             np.testing.assert_allclose(
                 np.asarray(t2.state.lora[k]), np.asarray(t1.state.lora[k]),
-                rtol=2e-4, atol=2e-6, err_msg=k)
+                rtol=2e-4, atol=2e-5, err_msg=k)
         np.testing.assert_allclose(t2.last_inner_losses, t1.last_inner_losses,
                                    rtol=1e-2, atol=1e-8)
 

@@ -5,6 +5,8 @@ log-prob replay, LoRA policy update. The reference ships WAN as a sampler
 library only; this closes the trainer seam like tests/test_flux_trainer.py
 does for Flux."""
 
+import zlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,7 +38,8 @@ class _ToyDataset:
 def brightness_reward(videos, prompts, metadata=None, ref_images=None):
     arr = jnp.asarray(videos, jnp.float32)
     scores = np.asarray(jnp.mean(arr, axis=tuple(range(1, arr.ndim))))
-    noise = np.array([abs(hash(p)) % 7 / 70.0 for p in prompts])
+    noise = np.array([zlib.crc32(p.encode()) % 7 / 70.0
+                      for p in prompts])  # crc32: process-stable
     avg = scores + noise
     return {"brightness": avg, "avg": avg}, {}
 
