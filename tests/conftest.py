@@ -68,6 +68,26 @@ _SLOW_NODE_PARTS = [
     "test_wan_trainer.py",
     "test_flux_trainer.py::TestFluxTrainer::test_checkpoint_roundtrip",
     "test_flux_trainer.py::TestFluxTrainer::test_window_replay_identity",
+    # pass-2 tail (measured via `pytest -m "not slow" --durations=30`: the
+    # curated lane was 1017s; these marks + the shared TestMMDiT fixture
+    # bring it under the 10-min promise). The canonical e2e per family
+    # (sd3 two_epochs, flux window_gather, learning-curve sd3 rise) stays
+    # in the fast lane.
+    "test_app.py::TestAppAdapterPicker::test_local_hub_layout_and_picker",
+    "test_learning_curve.py::TestLearningCurve::test_sd3_sign_error_does_not_rise",
+    "test_misc.py::TestFlopsModel::test_wan_trainer_logs_rollout_tflops",
+    "test_flux_trainer.py::TestFluxTrainer::test_two_epochs_update_policy",
+    "test_trainer_e2e.py::TestSharding::test_inner_epochs_multiply_microsteps",
+    "test_trainer_e2e.py::TestTrainerE2E::test_micro_splits_divisibility_errors",
+    "test_remote_rewards.py::TestStyleGANDiscriminator::test_scores_and_shape_dispatch",
+    "test_finetune_pickscore.py::TestFinetuneCLI::test_finetune_improves_preference_accuracy",
+    "test_joint_attention.py::test_joint_mha_gradients",
+    "test_joint_attention.py::test_joint_mha_unaligned_text_gradients",
+    "test_flux_wan.py::TestFluxTransformer::test_fused_qkv_matches_unfused",
+    "test_flux_wan.py::TestWanTransformer::test_fused_qkv_matches_unfused",
+    "test_finetune_pickscore.py::TestFinetuneCLI::test_msgpack_warm_starts_trainer_d",
+    "test_convert.py::TestT5Parity::test_t5_encoder_matches_hf",
+    "test_convert.py::TestImageRewardNative::test_model_and_converter",
 ]
 
 

@@ -20,17 +20,26 @@ from adv_grpo_tpu.models.aesthetic import AestheticHead
 from adv_grpo_tpu.models.encode_prompt import compose_sd3_prompt_embeds
 
 
+@pytest.fixture(scope="class")
+def mmdit_shared(request):
+    """Init + jit ONCE for the whole class (~12s/test of repeated
+    setup_method compiles otherwise); tests never mutate the shared trees —
+    they build copies via merge_lora_params/dataclasses.replace."""
+    cls = request.cls
+    cls.cfg = MMDiTConfig.tiny(lora_rank=4, lora_alpha=8)
+    cls.model = MMDiT(cls.cfg)
+    key = jax.random.PRNGKey(0)
+    cls.lat = jax.random.normal(key, (2, 16, 8, 8))
+    cls.t = jnp.array([999.0, 500.0])
+    cls.ctx = jax.random.normal(key, (2, 12, cls.cfg.joint_attention_dim))
+    cls.pooled = jax.random.normal(key, (2, cls.cfg.pooled_projection_dim))
+    cls.vars = jax.jit(cls.model.init)(key, cls.lat, cls.t, cls.ctx,
+                                       cls.pooled)
+    cls.apply = staticmethod(jax.jit(cls.model.apply))
+
+
+@pytest.mark.usefixtures("mmdit_shared")
 class TestMMDiT:
-    def setup_method(self):
-        self.cfg = MMDiTConfig.tiny(lora_rank=4, lora_alpha=8)
-        self.model = MMDiT(self.cfg)
-        key = jax.random.PRNGKey(0)
-        self.lat = jax.random.normal(key, (2, 16, 8, 8))
-        self.t = jnp.array([999.0, 500.0])
-        self.ctx = jax.random.normal(key, (2, 12, self.cfg.joint_attention_dim))
-        self.pooled = jax.random.normal(key, (2, self.cfg.pooled_projection_dim))
-        self.vars = jax.jit(self.model.init)(key, self.lat, self.t, self.ctx, self.pooled)
-        self.apply = jax.jit(self.model.apply)
 
     def test_forward_shape_and_finite(self):
         out = self.apply(self.vars, self.lat, self.t, self.ctx, self.pooled)
