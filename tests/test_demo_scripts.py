@@ -39,7 +39,9 @@ def test_presets_resolve():
     flux = resolve_config("flux_smoke")
     assert flux.model_family == "flux" and flux.smoke_test
     wan = resolve_config("wan_smoke")
-    assert wan.model_family == "wan" and wan.sample.num_frames == 8
+    # 9 = 4k+1 pixel frames (WAN causal-VAE temporal stride contract,
+    # config/grpo.py wan_smoke)
+    assert wan.model_family == "wan" and wan.sample.num_frames == 9
 
 
 def test_flux_demo_sweep(tmp_path):
