@@ -39,9 +39,10 @@ numbers):
   * the result dict is (re)written to ``BENCH_PARTIAL.json`` next to this
     file after EVERY phase, so any kill preserves completed phases;
   * phases run headline-first and each carries a wall-clock estimate; once
-    the internal budget (ADV_GRPO_BENCH_BUDGET_SEC, default 1500s — under
-    the ~30min driver timeout) cannot cover a phase's estimate the phase is
-    skipped and recorded under ``"skipped"``;
+    the internal budget (ADV_GRPO_BENCH_BUDGET_SEC, default 1680s — under
+    the ~30min driver timeout; the SIGTERM handler makes small overshoots
+    lossless) cannot cover a phase's estimate the phase is skipped and
+    recorded under ``"skipped"``;
   * a SIGTERM handler prints the current partial JSON line and exits, so
     even a driver kill mid-phase leaves a parseable record on stdout;
   * the rollout and train phases retry once on the XLA-composition attention
@@ -135,7 +136,7 @@ def main():
     smoke = bool(int(os.environ.get("ADV_GRPO_BENCH_SMOKE", "0") or "0"))
 
     T0 = time.perf_counter()
-    BUDGET = float(os.environ.get("ADV_GRPO_BENCH_BUDGET_SEC", "1500"))
+    BUDGET = float(os.environ.get("ADV_GRPO_BENCH_BUDGET_SEC", "1680"))
 
     errors: dict[str, str] = {}
     skipped: dict[str, str] = {}
@@ -216,33 +217,67 @@ def main():
 
     rnd = lambda x, n: None if x is None else round(x, n)
 
-    # ── REAL trainer epoch (VERDICT r3 next #3), in a SUBPROCESS with a
-    # clean device heap BEFORE this process claims the chip: a production
-    # trainer runs alone on its chip, and measured in-process the phase OOMs
-    # against the bench's own resident trees/executables. The script runs
+    # ── REAL trainer epoch (VERDICT r3 next #3), IN-PROCESS and FIRST,
+    # while the heap is still clean (nothing else is materialised yet) —
+    # a production trainer runs alone on its chip. In-process matters on
+    # the axon tunnel: every live python process claims the chip at
+    # interpreter startup, so a measuring SUBPROCESS blocks ~7 min on the
+    # claim handover and then invalidates the parent's client
+    # (FAILED_PRECONDITION on every later phase — the r5 dry run lost all
+    # 12 phases this way, and r4's "392s empty-chip diagnostic" was really
+    # the parent's re-attach wait). One process = one claim = no handover.
     # GRPOTrainer.run() at the production shape (12x8 @512^2, resident
-    # PickScore, pinned rt=2) and prints wall + the driver's phase totals.
-    # It runs FIRST only because of the clean-heap requirement; its
-    # subprocess timeout is bounded so the headline phases always get their
-    # share of the budget.
-    if not smoke and not os.environ.get("ADV_GRPO_BENCH_SKIP_TRAINER_EPOCH"):
-        def run_trainer_epoch_subprocess():
-            import subprocess
-            script = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "scripts",
-                "measure_trainer_epoch.py")
-            # leave >=600s of budget to the headline phases no matter what
-            sub_timeout = max(120.0, min(2400.0, remaining() - 600.0))
-            out = subprocess.run([sys.executable, script],
-                                 capture_output=True, text=True,
-                                 timeout=sub_timeout)
-            line = out.stdout.strip().splitlines()[-1]
-            d = json.loads(line)
-            if d.get("errors"):
-                errors["trainer_epoch_inner"] = str(d["errors"])[:300]
-            return d
+    # PickScore, pinned rt=2); wall + the driver's phase totals.
+    # ADV_GRPO_BENCH_TRAINER_EPOCH=subprocess restores the old isolation
+    # (for non-tunnel backends); =skip drops the phase.
+    tepoch_mode = os.environ.get(
+        "ADV_GRPO_BENCH_TRAINER_EPOCH",
+        "skip" if os.environ.get("ADV_GRPO_BENCH_SKIP_TRAINER_EPOCH")
+        else "inproc")
+    if not smoke and tepoch_mode != "skip":
+        def run_trainer_epoch():
+            if tepoch_mode == "subprocess":
+                import subprocess
+                script = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "scripts",
+                    "measure_trainer_epoch.py")
+                # leave >=600s of budget to the headline phases regardless
+                sub_timeout = max(120.0, min(2400.0, remaining() - 600.0))
+                out = subprocess.run([sys.executable, script],
+                                     capture_output=True, text=True,
+                                     timeout=sub_timeout)
+                line = out.stdout.strip().splitlines()[-1]
+                return json.loads(line)
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            import measure_trainer_epoch as mte
+            inner_errors: dict = {}
+            try:
+                for combo in (
+                        dict(remat_policy="save_big", micro_splits=4,
+                             cfg_sequential=False),
+                        dict(remat_policy="save_attn", micro_splits=1,
+                             cfg_sequential=False)):
+                    try:
+                        wall, phases = mte.run_once(combo)
+                        return {"trainer_epoch_wall_sec": round(wall, 2),
+                                "trainer_epoch_phase_sec": phases,
+                                "errors": inner_errors or None}
+                    except Exception as e:  # noqa: BLE001 — cheaper combo
+                        inner_errors[combo["remat_policy"]] = (
+                            f"{type(e).__name__}: {e}"[:200])
+                        jax.clear_caches()
+                return {"errors": inner_errors}
+            finally:
+                # free the trainer's device trees + executables before the
+                # bench materialises its own 4.4GB pipe
+                import gc
+                gc.collect()
+                jax.clear_caches()
 
-        d = guarded("trainer_epoch", run_trainer_epoch_subprocess) or {}
+        d = guarded("trainer_epoch", run_trainer_epoch) or {}
+        if d.get("errors"):
+            errors["trainer_epoch_inner"] = str(d["errors"])[:300]
         snap(trainer_epoch_wall_sec=rnd(d.get("trainer_epoch_wall_sec"), 2),
              trainer_epoch_phase_sec=d.get("trainer_epoch_phase_sec"))
 
@@ -880,7 +915,7 @@ def main():
             for leaf in jax.tree_util.tree_leaves((tvars, vvars)):
                 leaf.delete()
 
-    res = guarded("wan_rollout", time_wan_rollout, est=240)
+    res = guarded("wan_rollout", time_wan_rollout, est=200)
     if res:
         snap(wan_rollout_sec_batch2=rnd(res[0], 3),
              wan_videos_per_sec=rnd(res[1], 4), wan_mfu=rnd(res[2], 4))
@@ -973,7 +1008,7 @@ def main():
             for leaf in jax.tree_util.tree_leaves((tvars, vvars)):
                 leaf.delete()
 
-    res = guarded("flux_rollout_midgeom", time_flux_rollout, est=240)
+    res = guarded("flux_rollout_midgeom", time_flux_rollout, est=200)
     if res:
         snap(flux_midgeom_rollout_sec_batch4=rnd(res[0], 3),
              flux_midgeom_images_per_sec=rnd(res[1], 4),
