@@ -836,7 +836,8 @@ def main():
     # ── WAN family rollout at the TRUE t2v_1_3b geometry (VERDICT r4 next
     # #5): full stochastic video rollout + 3D-VAE decode through the same
     # make_wan_sample_fn the trainer compiles. 9-frame 256^2 video (latent
-    # 3x32x32 -> 768 tokens), batch 2 — small on purpose; MFU is the metric.
+    # 3x32x32 -> 768 tokens), batch 8 = the production per-chip sampling
+    # batch (mini_num_image_per_prompt, config/grpo.py).
     def time_wan_rollout():
         from adv_grpo_tpu.models.wan import WanConfig, WanTransformer
         from adv_grpo_tpu.models.wan_vae import WanVAEConfig, WanVideoVAE
@@ -855,7 +856,7 @@ def main():
         else:
             wcfg = WanConfig.t2v_1_3b(lora_rank=32, lora_alpha=64.0)
             wvcfg = WanVAEConfig.wan()
-            w_hw, w_frames, w_txt, w_steps, w_b = 32, 3, 512, 10, 2
+            w_hw, w_frames, w_txt, w_steps, w_b = 32, 3, 512, 10, 8
 
         model, wvae = WanTransformer(wcfg), WanVideoVAE(wvcfg)
         lat = jnp.zeros((1, wcfg.in_channels, w_frames, w_hw, w_hw))
@@ -917,7 +918,7 @@ def main():
 
     res = guarded("wan_rollout", time_wan_rollout, est=200)
     if res:
-        snap(wan_rollout_sec_batch2=rnd(res[0], 3),
+        snap(wan_rollout_sec_batch8=rnd(res[0], 3),
              wan_videos_per_sec=rnd(res[1], 4), wan_mfu=rnd(res[2], 4))
 
     # ── Flux family rollout, MID geometry (hidden 1536, 8 double + 16
@@ -940,7 +941,7 @@ def main():
                                   num_attention_heads=12, lora_rank=32,
                                   lora_alpha=64.0)
             fvcfg = VAEConfig.sd3()
-            f_hw, f_txt, f_steps, f_b = 64, 512, 10, 4
+            f_hw, f_txt, f_steps, f_b = 64, 512, 10, 8
 
         from adv_grpo_tpu.models.vae import AutoencoderKL as _VAE
         import numpy as np
@@ -1010,7 +1011,7 @@ def main():
 
     res = guarded("flux_rollout_midgeom", time_flux_rollout, est=200)
     if res:
-        snap(flux_midgeom_rollout_sec_batch4=rnd(res[0], 3),
+        snap(flux_midgeom_rollout_sec_batch8=rnd(res[0], 3),
              flux_midgeom_images_per_sec=rnd(res[1], 4),
              flux_midgeom_mfu=rnd(res[2], 4))
 
@@ -1047,7 +1048,7 @@ def main():
 
         return 0.5 * (sp_bench(2) + sp_bench(3))  # = cost at E[rt] = 2.5
 
-    dt_sp = guarded("shared_prefix", time_shared_prefix, est=230)
+    dt_sp = guarded("shared_prefix", time_shared_prefix, est=160)
     if dt_sp:
         # same_latent group-shared-prefix rollout at the TRUE mean window
         # start (cost linear in rt: mean of rt=2,3 == cost at E[rt]=2.5)
