@@ -200,8 +200,22 @@ class TestLearningCurve:
         """Adversarial control: NEGATED advantages (the exact bug class this
         test exists for) must fail the direction check — proves the margin is
         discriminative, not vacuous. (Measured gaps @1e-2: sd3 positive
-        +0.0033, negated -0.0005; flux positive +0.016, negated -0.016.)"""
-        gap, rel = direction_gap(run_family("sd3", negate=True))
+        +0.0033, negated -0.0005; flux positive +0.016, negated -0.016;
+        wan positive +0.0048, negated -0.0025.)"""
+        self._assert_negated_fails("sd3")
+
+    @pytest.mark.slow
+    def test_flux_sign_error_does_not_rise(self):
+        """Per-family control: the flux sampler/advantage path must be
+        sign-faithful, not just the shared GRPO core."""
+        self._assert_negated_fails("flux")
+
+    @pytest.mark.slow
+    def test_wan_sign_error_does_not_rise(self):
+        self._assert_negated_fails("wan")
+
+    def _assert_negated_fails(self, family):
+        gap, rel = direction_gap(run_family(family, negate=True))
         assert gap <= 0.002, (
-            "negated advantages still 'improved' the reward — the margin "
-            f"check is vacuous: gap {gap:.5f}, rel curve={rel}")
+            f"{family}: negated advantages still 'improved' the reward — "
+            f"the margin check is vacuous: gap {gap:.5f}, rel curve={rel}")
